@@ -1,0 +1,200 @@
+"""Host-side BLS12-381 group arithmetic (G1 over Fq, G2 over Fq2).
+
+Small, correct Python-int implementations used for: SRS G2 elements, the
+verifier's handful of scalar muls, serialization, and as the golden
+reference for the batched device curve kernels
+(:mod:`marlin_tpu.ops.curve_device`).  Mirrors the slice of `ark-ec` the
+reference consumes through `ark-poly-commit` (SURVEY.md §2b row 2).
+
+Points are affine tuples `(x, y)` with `None` for the identity.
+"""
+
+from __future__ import annotations
+
+from . import bls12_381 as P
+from . import host_pairing as hp
+
+Q = P.Q_MODULUS
+
+
+class _FieldOps:
+    """Function table so the group law is written once for Fq and Fq2."""
+
+    def __init__(self, add, sub, mul, sqr, inv, neg, zero, one, scalar):
+        self.add, self.sub, self.mul, self.sqr = add, sub, mul, sqr
+        self.inv, self.neg, self.zero, self.one = inv, neg, zero, one
+        self.scalar = scalar  # int -> field element
+
+
+FQ_OPS = _FieldOps(
+    hp.fq_add, hp.fq_sub, hp.fq_mul, lambda a: a * a % Q,
+    hp.fq_inv, hp.fq_neg, 0, 1, lambda s: s % Q,
+)
+
+FQ2_OPS = _FieldOps(
+    hp.fq2_add, hp.fq2_sub, hp.fq2_mul, hp.fq2_sqr,
+    hp.fq2_inv, hp.fq2_neg, hp.FQ2_ZERO, hp.FQ2_ONE, lambda s: (s % Q, 0),
+)
+
+
+def _affine_add(f: _FieldOps, p, q):
+    if p is None:
+        return q
+    if q is None:
+        return p
+    x1, y1 = p
+    x2, y2 = q
+    if x1 == x2:
+        if y1 != y2 or y1 == f.zero:
+            return None
+        # doubling
+        lam = f.mul(f.mul(f.scalar(3), f.sqr(x1)), f.inv(f.mul(f.scalar(2), y1)))
+    else:
+        lam = f.mul(f.sub(y2, y1), f.inv(f.sub(x2, x1)))
+    x3 = f.sub(f.sub(f.sqr(lam), x1), x2)
+    y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def _affine_neg(f: _FieldOps, p):
+    return None if p is None else (p[0], f.neg(p[1]))
+
+
+def _scalar_mul(f: _FieldOps, p, k: int):
+    k %= P.R_MODULUS
+    acc = None
+    base = p
+    while k:
+        if k & 1:
+            acc = _affine_add(f, acc, base)
+        base = _affine_add(f, base, base)
+        k >>= 1
+    return acc
+
+
+# --- G1 ----------------------------------------------------------------------
+
+G1_GEN = (P.G1_GENERATOR_X, P.G1_GENERATOR_Y)
+
+
+def g1_add(p, q):
+    return _affine_add(FQ_OPS, p, q)
+
+
+def g1_neg(p):
+    return _affine_neg(FQ_OPS, p)
+
+
+def g1_mul(p, k: int):
+    return _scalar_mul(FQ_OPS, p, k)
+
+
+def g1_is_on_curve(p) -> bool:
+    if p is None:
+        return True
+    x, y = p
+    return (y * y - (x * x * x + P.CURVE_B)) % Q == 0
+
+
+def g1_msm(points, scalars):
+    """Reference MSM (host).  The production path is ops/msm.py on device."""
+    acc = None
+    for p, s in zip(points, scalars):
+        if s % P.R_MODULUS == 0 or p is None:
+            continue
+        acc = g1_add(acc, g1_mul(p, s))
+    return acc
+
+
+# --- G2 ----------------------------------------------------------------------
+
+G2_GEN = (P.G2_GENERATOR_X, P.G2_GENERATOR_Y)
+
+
+def g2_add(p, q):
+    return _affine_add(FQ2_OPS, p, q)
+
+
+def g2_neg(p):
+    return _affine_neg(FQ2_OPS, p)
+
+
+def g2_mul(p, k: int):
+    return _scalar_mul(FQ2_OPS, p, k)
+
+
+def g2_is_on_curve(p) -> bool:
+    if p is None:
+        return True
+    x, y = p
+    rhs = hp.fq2_add(hp.fq2_mul(hp.fq2_sqr(x), x), (P.CURVE_B_TWIST[0], P.CURVE_B_TWIST[1]))
+    return hp.fq2_sqr(y) == rhs
+
+
+# --- Serialization -----------------------------------------------------------
+# Layout follows ark-serialize 0.3's short-Weierstrass compressed encoding:
+# little-endian x with flag bits in the top byte (bit7 = y is the
+# lexicographically larger root, bit6 = infinity).
+
+_FLAG_Y_LARGEST = 1 << 7
+_FLAG_INFINITY = 1 << 6
+
+
+def g1_compress(p) -> bytes:
+    if p is None:
+        b = bytearray(P.FQ_BYTES)
+        b[-1] |= _FLAG_INFINITY
+        return bytes(b)
+    x, y = p
+    b = bytearray(int(x).to_bytes(P.FQ_BYTES, "little"))
+    if y > Q - y:
+        b[-1] |= _FLAG_Y_LARGEST
+    return bytes(b)
+
+
+def g1_decompress(b: bytes):
+    b = bytearray(b)
+    flags = b[-1] & 0xC0
+    b[-1] &= 0x3F
+    if flags & _FLAG_INFINITY:
+        return None
+    x = int.from_bytes(bytes(b), "little")
+    y2 = (x * x * x + P.CURVE_B) % Q
+    y = pow(y2, (Q + 1) // 4, Q)  # q ≡ 3 (mod 4)
+    if y * y % Q != y2:
+        raise ValueError("not a point on the curve")
+    if (y > Q - y) != bool(flags & _FLAG_Y_LARGEST):
+        y = Q - y
+    return (x, y)
+
+
+def g2_compress(p) -> bytes:
+    if p is None:
+        b = bytearray(2 * P.FQ_BYTES)
+        b[-1] |= _FLAG_INFINITY
+        return bytes(b)
+    (x0, x1), (y0, y1) = p
+    # c0 first then c1, matching arkworks QuadExtField serialization.
+    b = bytearray(int(x0).to_bytes(P.FQ_BYTES, "little") + int(x1).to_bytes(P.FQ_BYTES, "little"))
+    if (y1, y0) > ((Q - y1) % Q, (Q - y0) % Q):
+        b[-1] |= _FLAG_Y_LARGEST
+    return bytes(b)
+
+
+def g1_to_bytes(p) -> bytes:
+    """ark-ff `ToBytes` layout for affine points: x || y || infinity byte."""
+    if p is None:
+        return bytes(2 * P.FQ_BYTES) + b"\x01"
+    return (
+        int(p[0]).to_bytes(P.FQ_BYTES, "little")
+        + int(p[1]).to_bytes(P.FQ_BYTES, "little")
+        + b"\x00"
+    )
+
+
+def g2_to_bytes(p) -> bytes:
+    if p is None:
+        return bytes(4 * P.FQ_BYTES) + b"\x01"
+    (x0, x1), (y0, y1) = p
+    out = b"".join(int(v).to_bytes(P.FQ_BYTES, "little") for v in (x0, x1, y0, y1))
+    return out + b"\x00"

@@ -1,0 +1,303 @@
+"""BLS12-381 pairing on the host.
+
+The reference reaches pairings only through `PC::check_combinations`
+(reference src/lib.rs:413-423) — the verifier is succinct, so pairings are
+off the TPU critical path (SURVEY.md §7 step 6).  This module implements the
+tower Fq2/Fq6/Fq12, the ate Miller loop, and the final exponentiation with
+plain Python integers.
+
+Tower (matching arkworks' construction for BLS12-381):
+    Fq2  = Fq [u] / (u^2 + 1)
+    Fq6  = Fq2[v] / (v^3 - xi),  xi = u + 1
+    Fq12 = Fq6[w] / (w^2 - v)           (so w^6 = xi)
+
+G2 points live on the M-twist E': y^2 = x^3 + 4*xi and are mapped into
+E(Fq12) via psi(x, y) = (x * w^-2, y * w^-3) for the Miller loop.  The loop
+is the straightforward affine version with explicit Fq12 slopes; correctness
+is established by bilinearity tests rather than trusting sparse-mul index
+conventions.
+"""
+
+from __future__ import annotations
+
+from . import bls12_381 as P
+
+Q = P.Q_MODULUS
+
+# --- Fq ---------------------------------------------------------------------
+
+def fq_add(a, b):
+    return (a + b) % Q
+
+
+def fq_sub(a, b):
+    return (a - b) % Q
+
+
+def fq_mul(a, b):
+    return a * b % Q
+
+
+def fq_inv(a):
+    return pow(a, -1, Q)
+
+
+def fq_neg(a):
+    return (-a) % Q
+
+
+# --- Fq2: (c0, c1) = c0 + c1*u, u^2 = -1 ------------------------------------
+
+FQ2_ZERO = (0, 0)
+FQ2_ONE = (1, 0)
+
+
+def fq2_add(a, b):
+    return ((a[0] + b[0]) % Q, (a[1] + b[1]) % Q)
+
+
+def fq2_sub(a, b):
+    return ((a[0] - b[0]) % Q, (a[1] - b[1]) % Q)
+
+
+def fq2_neg(a):
+    return ((-a[0]) % Q, (-a[1]) % Q)
+
+
+def fq2_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    t0 = a0 * b0
+    t1 = a1 * b1
+    return ((t0 - t1) % Q, (a0 * b1 + a1 * b0) % Q)
+
+
+def fq2_sqr(a):
+    a0, a1 = a
+    return ((a0 * a0 - a1 * a1) % Q, 2 * a0 * a1 % Q)
+
+
+def fq2_mul_scalar(a, s):
+    return (a[0] * s % Q, a[1] * s % Q)
+
+
+def fq2_inv(a):
+    a0, a1 = a
+    norm = (a0 * a0 + a1 * a1) % Q
+    ninv = pow(norm, -1, Q)
+    return (a0 * ninv % Q, (-a1 * ninv) % Q)
+
+
+def fq2_conj(a):
+    return (a[0], (-a[1]) % Q)
+
+
+def fq2_mul_by_xi(a):
+    """Multiply by the Fq6 non-residue xi = u + 1."""
+    a0, a1 = a
+    return ((a0 - a1) % Q, (a0 + a1) % Q)
+
+
+# --- Fq6: triples of Fq2, v^3 = xi -------------------------------------------
+
+FQ6_ZERO = (FQ2_ZERO, FQ2_ZERO, FQ2_ZERO)
+FQ6_ONE = (FQ2_ONE, FQ2_ZERO, FQ2_ZERO)
+
+
+def fq6_add(a, b):
+    return tuple(fq2_add(x, y) for x, y in zip(a, b))
+
+
+def fq6_sub(a, b):
+    return tuple(fq2_sub(x, y) for x, y in zip(a, b))
+
+
+def fq6_neg(a):
+    return tuple(fq2_neg(x) for x in a)
+
+
+def fq6_mul(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    t0 = fq2_mul(a0, b0)
+    t1 = fq2_mul(a1, b1)
+    t2 = fq2_mul(a2, b2)
+    # Karatsuba-style cross terms
+    c0 = fq2_add(t0, fq2_mul_by_xi(fq2_sub(fq2_mul(fq2_add(a1, a2), fq2_add(b1, b2)), fq2_add(t1, t2))))
+    c1 = fq2_add(fq2_sub(fq2_mul(fq2_add(a0, a1), fq2_add(b0, b1)), fq2_add(t0, t1)), fq2_mul_by_xi(t2))
+    c2 = fq2_add(fq2_sub(fq2_mul(fq2_add(a0, a2), fq2_add(b0, b2)), fq2_add(t0, t2)), t1)
+    return (c0, c1, c2)
+
+
+def fq6_sqr(a):
+    return fq6_mul(a, a)
+
+
+def fq6_mul_by_v(a):
+    """Multiply by v (shifts coefficients; v^3 = xi)."""
+    a0, a1, a2 = a
+    return (fq2_mul_by_xi(a2), a0, a1)
+
+
+def fq6_inv(a):
+    a0, a1, a2 = a
+    c0 = fq2_sub(fq2_sqr(a0), fq2_mul_by_xi(fq2_mul(a1, a2)))
+    c1 = fq2_sub(fq2_mul_by_xi(fq2_sqr(a2)), fq2_mul(a0, a1))
+    c2 = fq2_sub(fq2_sqr(a1), fq2_mul(a0, a2))
+    t = fq2_add(fq2_mul_by_xi(fq2_add(fq2_mul(a2, c1), fq2_mul(a1, c2))), fq2_mul(a0, c0))
+    tinv = fq2_inv(t)
+    return (fq2_mul(c0, tinv), fq2_mul(c1, tinv), fq2_mul(c2, tinv))
+
+
+# --- Fq12: pairs of Fq6, w^2 = v ---------------------------------------------
+
+FQ12_ZERO = (FQ6_ZERO, FQ6_ZERO)
+FQ12_ONE = (FQ6_ONE, FQ6_ZERO)
+FQ12_W = (FQ6_ZERO, FQ6_ONE)
+
+
+def fq12_add(a, b):
+    return (fq6_add(a[0], b[0]), fq6_add(a[1], b[1]))
+
+
+def fq12_sub(a, b):
+    return (fq6_sub(a[0], b[0]), fq6_sub(a[1], b[1]))
+
+
+def fq12_neg(a):
+    return (fq6_neg(a[0]), fq6_neg(a[1]))
+
+
+def fq12_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    t0 = fq6_mul(a0, b0)
+    t1 = fq6_mul(a1, b1)
+    c0 = fq6_add(t0, fq6_mul_by_v(t1))
+    c1 = fq6_sub(fq6_mul(fq6_add(a0, a1), fq6_add(b0, b1)), fq6_add(t0, t1))
+    return (c0, c1)
+
+
+def fq12_sqr(a):
+    return fq12_mul(a, a)
+
+
+def fq12_inv(a):
+    a0, a1 = a
+    norm = fq6_sub(fq6_sqr(a0), fq6_mul_by_v(fq6_sqr(a1)))
+    ninv = fq6_inv(norm)
+    return (fq6_mul(a0, ninv), fq6_neg(fq6_mul(a1, ninv)))
+
+
+def fq12_conj(a):
+    """Conjugation = Frobenius^6 (negates the w-part)."""
+    return (a[0], fq6_neg(a[1]))
+
+
+def fq12_pow(a, e: int):
+    if e < 0:
+        a = fq12_inv(a)
+        e = -e
+    result = FQ12_ONE
+    base = a
+    while e:
+        if e & 1:
+            result = fq12_mul(result, base)
+        base = fq12_sqr(base)
+        e >>= 1
+    return result
+
+
+def fq12_eq(a, b):
+    return a == b
+
+
+def fq_to_fq12(a: int):
+    return (((a % Q, 0), FQ2_ZERO, FQ2_ZERO), FQ6_ZERO)
+
+
+def fq2_to_fq12(a):
+    return ((a, FQ2_ZERO, FQ2_ZERO), FQ6_ZERO)
+
+
+# w^-2 and w^-3, used by the twist embedding psi.
+_W_INV = fq12_inv(FQ12_W)
+_W_INV2 = fq12_sqr(_W_INV)
+_W_INV3 = fq12_mul(_W_INV2, _W_INV)
+
+
+def psi(q_point):
+    """Map an affine G2 point on the M-twist into E(Fq12)."""
+    x, y = q_point
+    return (fq12_mul(fq2_to_fq12(x), _W_INV2), fq12_mul(fq2_to_fq12(y), _W_INV3))
+
+
+# --- Miller loop / pairing ---------------------------------------------------
+
+# Exponent of the final exponentiation, as a raw integer.  Slow-but-sure:
+# optimized cyclotomic chains can land later without changing results.
+FINAL_EXP = (Q**12 - 1) // P.R_MODULUS
+
+
+def _line(t, s, p):
+    """Evaluate the line through Fq12 points t, s at p=(xp, yp) in Fq12.
+
+    Handles t == s (tangent).  Points must not be at infinity and
+    t != -s (never happens inside the ate loop for r-torsion inputs).
+    """
+    (xt, yt), (xs, ys) = t, s
+    if xt == xs and yt == ys:
+        # tangent: lambda = 3 x^2 / (2 y)
+        num = fq12_mul(fq_to_fq12(3), fq12_sqr(xt))
+        den = fq12_mul(fq_to_fq12(2), yt)
+    else:
+        num = fq12_sub(ys, yt)
+        den = fq12_sub(xs, xt)
+    lam = fq12_mul(num, fq12_inv(den))
+    xp, yp = p
+    # l(P) = yP - yT - lam * (xP - xT)
+    l = fq12_sub(fq12_sub(yp, yt), fq12_mul(lam, fq12_sub(xp, xt)))
+    # chord-and-tangent output point
+    x3 = fq12_sub(fq12_sub(fq12_sqr(lam), xt), xs)
+    y3 = fq12_sub(fq12_mul(lam, fq12_sub(xt, x3)), yt)
+    return l, (x3, y3)
+
+
+def miller_loop(p_affine, q_affine):
+    """f_{|x|, psi(Q)}(P) for the ate pairing, conjugated for negative x.
+
+    p_affine: (x, y) ints on G1, or None for infinity.
+    q_affine: ((x0,x1), (y0,y1)) Fq2 pairs on the twist, or None.
+    """
+    if p_affine is None or q_affine is None:
+        return FQ12_ONE
+    p12 = (fq_to_fq12(p_affine[0]), fq_to_fq12(p_affine[1]))
+    q12 = psi(q_affine)
+    t = q12
+    f = FQ12_ONE
+    bits = bin(P.BLS_X)[3:]  # skip leading 1
+    for bit in bits:
+        l, t = _line(t, t, p12)
+        f = fq12_mul(fq12_sqr(f), l)
+        if bit == "1":
+            l, t = _line(t, q12, p12)
+            f = fq12_mul(f, l)
+    if P.BLS_X_IS_NEGATIVE:
+        f = fq12_conj(f)
+    return f
+
+
+def final_exponentiation(f):
+    return fq12_pow(f, FINAL_EXP)
+
+
+def pairing(p_affine, q_affine):
+    return final_exponentiation(miller_loop(p_affine, q_affine))
+
+
+def multi_pairing(pairs) -> bool:
+    """Check prod_i e(P_i, Q_i) == 1 with a single final exponentiation."""
+    f = FQ12_ONE
+    for p, q in pairs:
+        f = fq12_mul(f, miller_loop(p, q))
+    return final_exponentiation(f) == FQ12_ONE

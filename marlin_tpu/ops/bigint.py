@@ -1,0 +1,257 @@
+"""Vectorized Montgomery arithmetic over 16-bit limbs (the TPU field core).
+
+This is the re-implementation of `ark-ff`'s Montgomery bigint layer
+(SURVEY.md §2b row 1, §7 step 1) as batched JAX array programs: every
+operation maps elementwise over arbitrary leading batch dimensions, so the
+VPU sees wide, regular uint32 lanes.  The same machinery instantiates Fr
+(L=16 limbs) and Fq (L=24 limbs) via a :class:`ModCtx`.
+
+Design notes
+------------
+* Products: schoolbook accumulation with per-step lo/hi 16-bit splitting.
+  Each accumulator position receives at most 2L terms < 2^16, i.e. stays
+  < 2^21 — comfortably inside uint32.
+* Carry normalization: an exact base-2^16 renormalization done with a
+  `lax.scan` over the limb axis (sequential over <=2L tiny steps, fully
+  batched over elements).  The Pallas kernels replace this with in-register
+  unrolled chains (ops/pallas/).
+* Montgomery reduction: SOS — m = (T mod R) * N' mod R; U = (T + m*N) / R;
+  conditional subtract.  R = 2^(16 L).
+* Inversion: Fermat (x^(N-2)) under `lax.fori_loop`; maps zero to zero,
+  matching `ark_ff::batch_inversion`'s skip-zeros semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
+
+_U32 = jnp.uint32
+_MASK = jnp.uint32(LIMB_MASK)
+
+
+@dataclass(frozen=True)
+class ModCtx:
+    """Static per-modulus context; hashable so it can be a jit static arg."""
+
+    name: str
+    modulus: int
+    L: int  # number of 16-bit limbs; R = 2^(16 L)
+
+    @property
+    def R(self) -> int:
+        return 1 << (LIMB_BITS * self.L)
+
+    @functools.cached_property
+    def mont_one(self) -> int:
+        return self.R % self.modulus
+
+    @functools.cached_property
+    def r2(self) -> int:
+        return self.R * self.R % self.modulus
+
+    @functools.cached_property
+    def nprime(self) -> int:
+        # -N^{-1} mod R
+        return pow(-self.modulus, -1, self.R)
+
+    # numpy constants (hashable ctx, so keep them as cached numpy arrays)
+    @functools.cached_property
+    def n_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.modulus, self.L)
+
+    @functools.cached_property
+    def nprime_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.nprime, self.L)
+
+    @functools.cached_property
+    def r2_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.r2, self.L)
+
+    @functools.cached_property
+    def one_limbs(self) -> np.ndarray:
+        return int_to_limbs(self.mont_one, self.L)
+
+    @functools.cached_property
+    def inv_exp_bits(self) -> np.ndarray:
+        """Bits of N-2 (MSB first) for Fermat inversion."""
+        e = self.modulus - 2
+        nbits = e.bit_length()
+        return np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
+
+
+def zeros(ctx: ModCtx, shape=()) -> jnp.ndarray:
+    return jnp.zeros((*shape, ctx.L), dtype=_U32)
+
+
+def normalize(t: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
+    """Exact carry propagation: redundant uint32 limbs -> 16-bit limbs.
+
+    Input limbs must be < 2^32 - 2^16 so `limb + carry` cannot wrap.
+    Carries past the last position are discarded (callers size buffers so
+    the true value fits).
+    """
+    if out_len is not None and out_len > t.shape[-1]:
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, out_len - t.shape[-1])]
+        t = jnp.pad(t, pad)
+
+    def step(carry, limb):
+        s = limb + carry
+        return s >> LIMB_BITS, s & _MASK
+
+    _, limbs = jax.lax.scan(step, jnp.zeros(t.shape[:-1], _U32), jnp.moveaxis(t, -1, 0))
+    return jnp.moveaxis(limbs, 0, -1)
+
+
+def mul_wide(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook product of normalized [.., L] limbs -> redundant [.., 2L].
+
+    Output limbs are < 2L * 2^16 < 2^21 (safe for further uint32 adds).
+    """
+    L = x.shape[-1]
+    assert y.shape[-1] == L
+    shape = jnp.broadcast_shapes(x.shape[:-1], y.shape[:-1])
+    acc = jnp.zeros((*shape, 2 * L), dtype=_U32)
+    for i in range(L):
+        p = x[..., i : i + 1] * y  # full 32-bit products of 16-bit limbs
+        acc = acc.at[..., i : i + L].add(p & _MASK)
+        acc = acc.at[..., i + 1 : i + L + 1].add(p >> LIMB_BITS)
+    return acc
+
+
+def _usub(a: jnp.ndarray, b: jnp.ndarray):
+    """a - b over normalized limbs; returns (diff_limbs, borrow in {0,1})."""
+
+    def step(borrow, ab):
+        ai, bi = ab
+        s = ai.astype(jnp.int32) - bi.astype(jnp.int32) - borrow
+        new_borrow = (s < 0).astype(jnp.int32)
+        return new_borrow, (s + (new_borrow << LIMB_BITS)).astype(_U32)
+
+    a_s = jnp.moveaxis(a, -1, 0)
+    b_s = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
+    borrow, limbs = jax.lax.scan(step, jnp.zeros(a.shape[:-1], jnp.int32), (a_s, b_s))
+    return jnp.moveaxis(limbs, 0, -1), borrow
+
+
+def cond_sub_modulus(ctx: ModCtx, r: jnp.ndarray) -> jnp.ndarray:
+    """r in [0, 2N) -> r mod N (normalized limbs in, normalized out)."""
+    n = jnp.asarray(ctx.n_limbs)
+    if r.shape[-1] > ctx.L:
+        n = jnp.pad(n, (0, r.shape[-1] - ctx.L))
+    diff, borrow = _usub(r, n)
+    keep = (borrow != 0)[..., None]
+    return jnp.where(keep, r, diff)
+
+
+def add_mod(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s = normalize(a + b, ctx.L + 1)  # one headroom limb for the carry
+    return cond_sub_modulus(ctx, s)[..., : ctx.L]
+
+
+def sub_mod(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    b = jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape))
+    a = jnp.broadcast_to(a, b.shape)
+    diff, borrow = _usub(a, b)
+    plus_n = normalize(diff + jnp.asarray(ctx.n_limbs), ctx.L)
+    return jnp.where((borrow != 0)[..., None], plus_n, diff)
+
+
+def neg_mod(ctx: ModCtx, a: jnp.ndarray) -> jnp.ndarray:
+    return sub_mod(ctx, jnp.zeros_like(a), a)
+
+
+def mont_reduce(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
+    """SOS Montgomery reduction: T (normalized [.., 2L], T < N*R) -> T R^-1 mod N."""
+    L = ctx.L
+    nprime = jnp.asarray(ctx.nprime_limbs)
+    n = jnp.asarray(ctx.n_limbs)
+    m = normalize(mul_wide(t[..., :L], nprime))[..., :L]  # (T mod R) * N' mod R
+    u = mul_wide(m, n)
+    u = u.at[..., : 2 * L].add(t)
+    u = normalize(u)  # exact; low L limbs are zero
+    return cond_sub_modulus(ctx, u[..., L:])
+
+
+def mont_mul(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return mont_reduce(ctx, normalize(mul_wide(a, b)))
+
+
+def mont_sqr(ctx: ModCtx, a: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(ctx, a, a)
+
+
+def reduce_wide(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
+    """Arbitrary normalized [.., M] limbs (M <= 2L, value < N*R) -> value mod N.
+
+    Used after redundant accumulations (segment sums, dot products).
+    """
+    L = ctx.L
+    if t.shape[-1] < 2 * L:
+        pad = [(0, 0)] * (t.ndim - 1) + [(0, 2 * L - t.shape[-1])]
+        t = jnp.pad(t, pad)
+    low = mont_reduce(ctx, t)  # t * R^-1 mod N
+    return mont_mul(ctx, low, jnp.asarray(ctx.r2_limbs))  # * R^2 * R^-1 = t mod N
+
+
+def to_mont(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    return mont_mul(ctx, x, jnp.asarray(ctx.r2_limbs))
+
+
+def from_mont(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    return mont_reduce(ctx, normalize(x, 2 * ctx.L))
+
+
+def pow_const(ctx: ModCtx, x: jnp.ndarray, exp_bits: np.ndarray) -> jnp.ndarray:
+    """x^e (Montgomery in/out) for a static exponent given as MSB-first bits."""
+    bits = jnp.asarray(exp_bits)
+    one = jnp.broadcast_to(jnp.asarray(ctx.one_limbs), x.shape)
+
+    def body(i, acc):
+        acc = mont_sqr(ctx, acc)
+        mul = mont_mul(ctx, acc, x)
+        return jnp.where((bits[i] == 1), mul, acc)
+
+    return jax.lax.fori_loop(0, bits.shape[0], body, one)
+
+
+def inv_mod(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    """Fermat inversion (Montgomery in/out); maps 0 -> 0 like batch_inversion."""
+    return pow_const(ctx, x, ctx.inv_exp_bits)
+
+
+def is_zero(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(x == 0, axis=-1)
+
+
+def eq(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def select(cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise field select; cond has the batch shape (no limb axis)."""
+    return jnp.where(cond[..., None], a, b)
+
+
+def modsum(ctx: ModCtx, x: jnp.ndarray, chunk: int = 1 << 12) -> jnp.ndarray:
+    """Sum over axis 0 of [n, L] normalized limbs -> [L] canonical limbs."""
+    n = x.shape[0]
+    if n == 0:
+        return zeros(ctx)
+    while n > 1:
+        c = min(chunk, n)
+        pad = (-n) % c
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            n += pad
+        x = x.reshape(n // c, c, ctx.L).sum(axis=1)  # limbs < c * 2^16 <= 2^28
+        x = normalize(x, ctx.L + 2)
+        x = reduce_wide(ctx, x)
+        n = x.shape[0]
+    return x[0]

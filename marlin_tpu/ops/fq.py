@@ -1,0 +1,56 @@
+"""Batched BLS12-381 base-field (Fq) arithmetic on device.
+
+Used by the curve kernels (ops/curve_device.py, ops/msm.py) — the only
+consumers of Fq, mirroring how the reference isolates curve math inside the
+polynomial-commitment layer (SURVEY.md §1 row 6).  Elements are `[.., 24]`
+uint32 limb vectors in Montgomery form (R = 2^384).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bls12_381 as P
+from . import bigint as bi
+from .limbs import int_to_limbs, ints_to_limbs, limbs_to_ints
+
+CTX = bi.ModCtx("fq", P.Q_MODULUS, 24)
+L = CTX.L
+
+add = jax.jit(lambda a, b: bi.add_mod(CTX, a, b))
+sub = jax.jit(lambda a, b: bi.sub_mod(CTX, a, b))
+neg = jax.jit(lambda a: bi.neg_mod(CTX, a))
+mul = jax.jit(lambda a, b: bi.mont_mul(CTX, a, b))
+sqr = jax.jit(lambda a: bi.mont_sqr(CTX, a))
+inv = jax.jit(lambda a: bi.inv_mod(CTX, a))
+is_zero = jax.jit(lambda a: bi.is_zero(CTX, a))
+eq = jax.jit(lambda a, b: bi.eq(CTX, a, b))
+select = jax.jit(lambda c, a, b: bi.select(c, a, b))
+
+
+def zeros(shape=()):
+    return bi.zeros(CTX, shape)
+
+
+def ones(shape=()):
+    return jnp.broadcast_to(jnp.asarray(CTX.one_limbs), (*shape, L))
+
+
+def from_ints(xs) -> jnp.ndarray:
+    mont = [x * P.FQ_MONT_R % P.Q_MODULUS for x in xs]
+    return jnp.asarray(ints_to_limbs(mont, L))
+
+
+def from_int(x: int) -> jnp.ndarray:
+    return jnp.asarray(int_to_limbs(x * P.FQ_MONT_R % P.Q_MODULUS, L))
+
+
+def to_ints(arr) -> list[int]:
+    rinv = pow(P.FQ_MONT_R, -1, P.Q_MODULUS)
+    return [x * rinv % P.Q_MODULUS for x in limbs_to_ints(np.asarray(arr))]
+
+
+def to_int(arr) -> int:
+    return to_ints(arr.reshape(1, -1))[0]

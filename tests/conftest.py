@@ -1,0 +1,35 @@
+"""Test harness configuration.
+
+Tests run on a virtual 8-device CPU mesh (the driver separately dry-runs the
+multi-chip path).  This must happen before any backend initialization:
+
+* The axon TPU-tunnel plugin registers itself via sitecustomize in every
+  interpreter; its first backend touch costs 10-250 s of tunnel setup, so we
+  drop its factory and pin the platform to cpu.
+* 8 virtual CPU devices back the `parallel/` sharding tests.
+"""
+
+import os
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+# Separate compile cache for the CPU test configuration.
+os.environ.setdefault("MARLIN_TPU_XLA_CACHE", os.path.expanduser("~/.cache/marlin_tpu_xla_cpu"))
+
+import jax  # noqa: E402
+
+try:  # drop the axon PJRT factory so it is never initialized in tests
+    from jax._src import xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name not in ("cpu", "interpreter"):
+            _xb._backend_factories.pop(_name, None)
+except Exception:  # pragma: no cover
+    pass
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # pragma: no cover - older jax
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
