@@ -179,8 +179,73 @@ def mont_reduce(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
     return cond_sub_modulus(ctx, u[..., L:])
 
 
+def _finalize_cios(ctx: ModCtx, acc: jnp.ndarray) -> jnp.ndarray:
+    """Fused carry-propagate + conditional-subtract-N over redundant limbs.
+
+    acc: [.., L+1] redundant (value < 2N).  One scan computes both the
+    normalized limbs and the borrow chain of (value - N); a final select
+    picks the reduced representative.
+    """
+    L = ctx.L
+    n_ext = jnp.pad(jnp.asarray(ctx.n_limbs), (0, 1))
+
+    def step(state, inp):
+        carry, borrow = state
+        limb_red, n_i = inp
+        s = limb_red + carry
+        limb = s & _MASK
+        d = limb.astype(jnp.int32) - n_i.astype(jnp.int32) - borrow
+        new_borrow = (d < 0).astype(jnp.int32)
+        return (s >> LIMB_BITS, new_borrow), (limb, (d + (new_borrow << LIMB_BITS)).astype(_U32))
+
+    init = (jnp.zeros(acc.shape[:-1], _U32), jnp.zeros(acc.shape[:-1], jnp.int32))
+    n_b = jnp.broadcast_to(
+        n_ext.reshape((L + 1,) + (1,) * (acc.ndim - 1)), (L + 1, *acc.shape[:-1])
+    )
+    xs = (jnp.moveaxis(acc, -1, 0), n_b)
+    (carry, borrow), (limbs, diffs) = jax.lax.scan(step, init, xs)
+    limbs = jnp.moveaxis(limbs, 0, -1)
+    diffs = jnp.moveaxis(diffs, 0, -1)
+    keep = (borrow != 0)[..., None]
+    return jnp.where(keep, limbs, diffs)[..., :L]
+
+
 def mont_mul(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return mont_reduce(ctx, normalize(mul_wide(a, b)))
+    """CIOS Montgomery product as a single fused scan over a's limbs.
+
+    Operands are normalized [.., L] Montgomery limbs.  The interleaved
+    accumulator keeps redundant uint32 limbs bounded by ~2^22 (at most four
+    sub-2^16 contributions per position per step plus the running shift),
+    so no inner carry propagation is needed — one scan for the L reduction
+    steps plus one fused finalize scan.
+    """
+    L = ctx.L
+    n = jnp.asarray(ctx.n_limbs)
+    np0 = jnp.uint32(int(ctx.nprime) & LIMB_MASK)
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    a = jnp.broadcast_to(a, (*shape, L))
+    b = jnp.broadcast_to(b, (*shape, L))
+
+    def step(acc, a_i):
+        # acc: [.., L+1] redundant; a_i: [..] one limb of a
+        p = a_i[..., None] * b  # [.., L] full 32-bit products
+        acc = acc.at[..., :L].add(p & _MASK)
+        acc = acc.at[..., 1 : L + 1].add(p >> LIMB_BITS)
+        m = (acc[..., 0] * np0) & _MASK
+        mn = m[..., None] * n
+        acc = acc.at[..., :L].add(mn & _MASK)
+        acc = acc.at[..., 1 : L + 1].add(mn >> LIMB_BITS)
+        # divide by 2^16: shift down one limb, propagating the carry of limb 0
+        carry0 = acc[..., 0] >> LIMB_BITS
+        acc = jnp.concatenate(
+            [acc[..., 1:], jnp.zeros((*acc.shape[:-1], 1), _U32)], axis=-1
+        )
+        acc = acc.at[..., 0].add(carry0)
+        return acc, None
+
+    acc0 = jnp.zeros((*shape, L + 1), dtype=_U32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.moveaxis(a, -1, 0))
+    return _finalize_cios(ctx, acc)
 
 
 def mont_sqr(ctx: ModCtx, a: jnp.ndarray) -> jnp.ndarray:
@@ -188,14 +253,13 @@ def mont_sqr(ctx: ModCtx, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def reduce_wide(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
-    """Arbitrary normalized [.., M] limbs (M <= 2L, value < N*R) -> value mod N.
+    """Redundant [.., M] limbs (M <= 2L, value < N*R, limbs < 2^32-2^16)
+    -> value mod N.
 
     Used after redundant accumulations (segment sums, dot products).
     """
     L = ctx.L
-    if t.shape[-1] < 2 * L:
-        pad = [(0, 0)] * (t.ndim - 1) + [(0, 2 * L - t.shape[-1])]
-        t = jnp.pad(t, pad)
+    t = normalize(t, 2 * L)
     low = mont_reduce(ctx, t)  # t * R^-1 mod N
     return mont_mul(ctx, low, jnp.asarray(ctx.r2_limbs))  # * R^2 * R^-1 = t mod N
 

@@ -1,0 +1,512 @@
+"""KZG10 polynomial commitments with Marlin-style degree bounds and hiding.
+
+Rebuild of the `ark-poly-commit` slice the reference pins (SURVEY.md §2b
+row 4): `setup / trim / commit / open_combinations / check_combinations`,
+`LabeledPolynomial`-style metadata, degree-bound *shifted* commitments
+(needed for g_1 with bound |H|-2 and g_2 with bound |K|-2 — reference
+src/ahp/prover.rs:561,700), hiding commitments (hiding bound 1,
+src/lib.rs:114), and linear-combination batch openings.
+
+Scheme math (MarlinKZG10 semantics):
+  * commit(p) = p(τ)·g + r(τ)·γg                     (r: blinding poly)
+  * degree-bound b: additionally commit x^(D-b)·p with shifted powers
+  * open at z: combined witness W = Σ_j χ^j w_j with w = (p - p(z))/(x - z);
+    a bounded poly consumes a second power χ^(j+1) whose witness is
+    x^(D-b)·w committed at offset D-b
+  * check: e(ΣC' - v·g - r_v·γg, h) = e(W, βh - z·h), where a bounded
+    poly's C' term is shifted_comm - v·β^(D-b)g
+
+Prover-side arithmetic (MSMs, witness polys) runs on device; the verifier's
+handful of group ops and the pairings run on the host (the reference keeps
+the same asymmetry: the verifier is succinct, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from ..fields import bls12_381 as P
+from ..fields import host_curve as hc
+from ..fields import host_pairing as hp
+from ..ops import curve_device as cd
+from ..ops import fr, msm, poly
+from ..utils.rand import ZkRng
+from .lc import ONE_TERM, LinearCombination
+
+R = P.R_MODULUS
+
+
+class PCError(Exception):
+    pass
+
+
+# --------------------------------------------------------------------------
+# keys
+
+
+@dataclass
+class UniversalParams:
+    """Powers-of-τ SRS (kzg10::UniversalParams analog)."""
+
+    powers_of_g: cd.Point  # [D+1] device, affine form (Z in {0,1})
+    powers_of_gamma_g: cd.Point  # [D+2] device
+    g: tuple  # host affine
+    gamma_g: tuple
+    h: tuple  # host G2 affine
+    beta_h: tuple
+
+    def max_degree(self) -> int:
+        return self.powers_of_g[0].shape[0] - 1
+
+
+@dataclass
+class CommitterKey:
+    pp: UniversalParams
+    supported_degree: int
+    degree_bounds: list  # sorted list of supported bounds
+    hiding_bound: int
+
+    @property
+    def max_degree(self) -> int:
+        return self.pp.max_degree()
+
+
+@dataclass
+class VerifierKey:
+    g: tuple
+    gamma_g: tuple
+    h: tuple
+    beta_h: tuple
+    shift_powers: dict  # bound -> host affine G1 = tau^(D-b) g
+    supported_degree: int
+    max_degree: int
+
+    def get_shift_power(self, bound: int):
+        if bound not in self.shift_powers:
+            raise PCError(f"unsupported degree bound {bound}")
+        return self.shift_powers[bound]
+
+
+@dataclass
+class Commitment:
+    comm: tuple | None  # host affine G1 (None = identity)
+    shifted_comm: tuple | None = None
+
+
+@dataclass
+class Randomness:
+    blind: list | None = None  # host int coeffs of the blinding poly
+    shifted_blind: list | None = None
+
+    @staticmethod
+    def empty() -> "Randomness":
+        return Randomness()
+
+
+@dataclass
+class PointProof:
+    w: tuple | None  # host affine G1
+    random_v: int | None
+
+
+@dataclass
+class BatchLCProof:
+    proofs: list  # one PointProof per distinct query point (sorted order)
+
+
+# --------------------------------------------------------------------------
+# setup / trim
+
+
+def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
+    """Powers-of-τ generation — a batched fixed-base scalar-mul on device
+    (the trusted-setup artifact; reference PC::setup at src/lib.rs:93)."""
+    tau = rng.rand_fr()
+    gamma = rng.rand_fr()
+    taus = [1] * (max_degree + 1)
+    for i in range(1, max_degree + 1):
+        taus[i] = taus[i - 1] * tau % R
+    gammas = [gamma * t % R for t in taus] + [gamma * taus[-1] * tau % R]
+
+    powers_g = cd.normalize_batch(msm.fixed_base_powers(hc.G1_GEN, taus))
+    powers_gamma = cd.normalize_batch(msm.fixed_base_powers(hc.G1_GEN, gammas))
+
+    h = hc.G2_GEN
+    beta_h = hc.g2_mul(h, tau)
+    return UniversalParams(
+        powers_of_g=powers_g,
+        powers_of_gamma_g=powers_gamma,
+        g=hc.G1_GEN,
+        gamma_g=cd.to_affine_ints(cd.gather(powers_gamma, jnp.array([0])))[0],
+        h=h,
+        beta_h=beta_h,
+    )
+
+
+def trim(
+    pp: UniversalParams,
+    supported_degree: int,
+    supported_hiding_bound: int,
+    degree_bounds: list | None,
+) -> tuple[CommitterKey, VerifierKey]:
+    """PC::trim (reference src/lib.rs:115-121)."""
+    d = pp.max_degree()
+    if supported_degree > d:
+        raise PCError("trim degree exceeds SRS")
+    bounds = sorted(degree_bounds or [])
+    shift_powers = {}
+    if bounds:
+        idxs = jnp.asarray([d - b for b in bounds])
+        affs = cd.to_affine_ints(cd.gather(pp.powers_of_g, idxs))
+        shift_powers = dict(zip(bounds, affs))
+    ck = CommitterKey(
+        pp=pp,
+        supported_degree=supported_degree,
+        degree_bounds=bounds,
+        hiding_bound=supported_hiding_bound,
+    )
+    vk = VerifierKey(
+        g=pp.g,
+        gamma_g=pp.gamma_g,
+        h=pp.h,
+        beta_h=pp.beta_h,
+        shift_powers=shift_powers,
+        supported_degree=supported_degree,
+        max_degree=d,
+    )
+    return ck, vk
+
+
+# --------------------------------------------------------------------------
+# commit
+
+
+def _msm_at(powers: cd.Point, offset: int, coeffs: jnp.ndarray) -> cd.Point:
+    n = coeffs.shape[0]
+    pts = (
+        powers[0][offset : offset + n],
+        powers[1][offset : offset + n],
+        powers[2][offset : offset + n],
+    )
+    return msm.msm(pts, coeffs)
+
+
+def _rand_blind(hiding_bound: int, rng: ZkRng) -> list:
+    # arkworks Randomness::rand uses a degree (hiding_bound + 1) poly
+    return rng.rand_fr_list(hiding_bound + 2)
+
+
+def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):
+    """-> (list[Commitment], list[Randomness]); labeled_polys entries expose
+    .label / .coeffs / .degree_bound / .hiding_bound (reference PC::commit
+    call sites src/lib.rs:125,172,193,213)."""
+    jacs = []  # (index, kind, jacobian) to batch-normalize at the end
+    comms_meta = []
+    rands = []
+    d = ck.max_degree
+    for lp in labeled_polys:
+        coeffs = lp.coeffs
+        deg = coeffs.shape[0] - 1
+        if deg > ck.supported_degree:
+            raise PCError(f"{lp.label}: degree {deg} > supported {ck.supported_degree}")
+        if lp.degree_bound is not None:
+            if lp.degree_bound not in ck.degree_bounds:
+                raise PCError(f"{lp.label}: unsupported degree bound {lp.degree_bound}")
+            if deg > lp.degree_bound:
+                raise PCError(f"{lp.label}: degree {deg} exceeds bound {lp.degree_bound}")
+        c = _msm_at(ck.pp.powers_of_g, 0, coeffs)
+        r = Randomness.empty()
+        if lp.hiding_bound is not None:
+            assert rng is not None
+            r.blind = _rand_blind(lp.hiding_bound, rng)
+            c = cd.add(c, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(r.blind)))
+        entry = {"comm": c, "shifted": None}
+        if lp.degree_bound is not None:
+            sc = _msm_at(ck.pp.powers_of_g, d - lp.degree_bound, coeffs)
+            if lp.hiding_bound is not None:
+                r.shifted_blind = _rand_blind(lp.hiding_bound, rng)
+                sc = cd.add(
+                    sc, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(r.shifted_blind))
+                )
+            entry["shifted"] = sc
+        comms_meta.append(entry)
+        rands.append(r)
+
+    # batch-normalize every produced point in one conversion
+    all_pts = []
+    for e in comms_meta:
+        all_pts.append(e["comm"])
+        if e["shifted"] is not None:
+            all_pts.append(e["shifted"])
+    if all_pts:
+        stacked = tuple(jnp.concatenate([p[i] for p in all_pts], axis=0) for i in range(3))
+        affs = cd.to_affine_ints(stacked)
+    out = []
+    k = 0
+    for e in comms_meta:
+        comm = affs[k]
+        k += 1
+        shifted = None
+        if e["shifted"] is not None:
+            shifted = affs[k]
+            k += 1
+        out.append(Commitment(comm=comm, shifted_comm=shifted))
+    return out, rands
+
+
+# --------------------------------------------------------------------------
+# LC compilation (virtual oracles)
+
+
+def _combine_lc_polys(lc_s: list, polys: dict, rands: dict):
+    """Compile each LinearCombination into a virtual labeled polynomial +
+    randomness (the default open_combinations/check_combinations path of
+    ark-poly-commit, reference src/lib.rs:292-302,413-423)."""
+    out = {}
+    for lc in lc_s:
+        vpoly = None
+        vblind = None
+        degree_bound = None
+        hiding = False
+        poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
+        const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
+        bounded = [t for _, t in poly_terms if polys[t].degree_bound is not None]
+        if bounded:
+            if len(poly_terms) != 1:
+                raise PCError(f"LC {lc.label}: degree-bounded poly in multi-term LC")
+            degree_bound = polys[poly_terms[0][1]].degree_bound
+        for c, t in poly_terms:
+            lp = polys[t]
+            scaled = poly.scale(lp.coeffs, fr.from_int(c))
+            vpoly = scaled if vpoly is None else poly.add(vpoly, scaled)
+            r = rands.get(t)
+            if lp.hiding_bound is not None:
+                hiding = True
+            if r is not None and r.blind is not None:
+                b = [c * x % R for x in r.blind]
+                if vblind is None:
+                    vblind = b
+                else:
+                    vblind = [
+                        (u + v) % R
+                        for u, v in zip(
+                            vblind + [0] * max(0, len(b) - len(vblind)),
+                            b + [0] * max(0, len(vblind) - len(b)),
+                        )
+                    ]
+        if vpoly is None:
+            vpoly = fr.zeros((1,))
+        if const:
+            cdev = fr.from_int(const)
+            vpoly = vpoly.at[0].set(fr.add(vpoly[0], cdev))
+        shifted_blind = None
+        if degree_bound is not None:
+            r = rands.get(poly_terms[0][1])
+            if r is not None and r.shifted_blind is not None:
+                c = poly_terms[0][0]
+                shifted_blind = [c * x % R for x in r.shifted_blind]
+        out[lc.label] = {
+            "coeffs": vpoly,
+            "degree_bound": degree_bound,
+            "hiding": hiding,
+            "blind": vblind,
+            "shifted_blind": shifted_blind,
+        }
+    return out
+
+
+@dataclass
+class LabeledCommitment:
+    """ark-poly-commit's LabeledCommitment: label + commitment + bound."""
+
+    label: str
+    commitment: Commitment
+    degree_bound: int | None = None
+
+
+def _combine_lc_comms(lc_s: list, comms: dict, g: tuple):
+    """Virtual commitments: Σ coeff·C (+ const·g); host group ops.
+
+    comms: label -> LabeledCommitment.  Returns label -> (Commitment, bound).
+    """
+    out = {}
+    for lc in lc_s:
+        acc = None
+        acc_shifted = None
+        degree_bound = None
+        poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
+        const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
+        for c, t in poly_terms:
+            lcm = comms[t]
+            acc = hc.g1_add(acc, hc.g1_mul(lcm.commitment.comm, c))
+            if lcm.degree_bound is not None:
+                if len(poly_terms) != 1:
+                    raise PCError(f"LC {lc.label}: bounded commitment in multi-term LC")
+                degree_bound = lcm.degree_bound
+                acc_shifted = hc.g1_mul(lcm.commitment.shifted_comm, c)
+        if const:
+            acc = hc.g1_add(acc, hc.g1_mul(g, const))
+        out[lc.label] = (Commitment(comm=acc, shifted_comm=acc_shifted), degree_bound)
+    return out
+
+
+# --------------------------------------------------------------------------
+# open / check
+
+
+def _group_query_set(query_set: list):
+    """-> ordered [(point_label, point, sorted poly labels)]."""
+    by_point = {}
+    for label, (point_label, point) in query_set:
+        by_point.setdefault((point_label, point), []).append(label)
+    return [
+        (pl, pt, sorted(labels)) for (pl, pt), labels in sorted(by_point.items())
+    ]
+
+
+def _host_poly_eval(coeffs: list, z: int) -> int:
+    acc = 0
+    for c in reversed(coeffs):
+        acc = (acc * z + c) % R
+    return acc
+
+
+def _host_div_by_linear(coeffs: list, z: int) -> list:
+    """(p(x) - p(z))/(x - z) for tiny host polys (blinding randomness)."""
+    out = [0] * (len(coeffs) - 1)
+    acc = 0
+    for i in range(len(coeffs) - 1, 0, -1):
+        acc = (acc * z + coeffs[i]) % R
+        out[i - 1] = acc
+    return out
+
+
+def open_combinations(
+    ck: CommitterKey,
+    lc_s: list,
+    polys: dict,
+    rands: dict,
+    query_set: list,
+    opening_challenge: int,
+    lc_evals: dict | None = None,
+) -> BatchLCProof:
+    """Produce one PointProof per distinct query point.
+
+    polys: label -> LabeledPoly; rands: label -> Randomness;
+    query_set entries reference LC labels.
+    """
+    virtual = _combine_lc_polys(lc_s, polys, rands)
+    d = ck.max_degree
+    proofs = []
+    for _pl, z, labels in _group_query_set(query_set):
+        z_dev = fr.from_int(z)
+        chi = 1
+        w_unshifted = None
+        shifted_parts = {}  # bound -> accumulated witness poly
+        gamma_blind = None  # combined randomness witness (host coeffs)
+        random_v = 0
+        any_hiding = False
+        for label in labels:
+            v = virtual[label]
+            w = poly.div_by_linear(v["coeffs"], z_dev)
+            scaled = poly.scale(w, fr.from_int(chi))
+            w_unshifted = scaled if w_unshifted is None else poly.add(w_unshifted, scaled)
+            if v["blind"] is not None:
+                any_hiding = True
+                random_v = (random_v + chi * _host_poly_eval(v["blind"], z)) % R
+                wb = [chi * x % R for x in _host_div_by_linear(v["blind"], z)]
+                gamma_blind = wb if gamma_blind is None else [
+                    (a + b) % R
+                    for a, b in zip(
+                        gamma_blind + [0] * max(0, len(wb) - len(gamma_blind)),
+                        wb + [0] * max(0, len(gamma_blind) - len(wb)),
+                    )
+                ]
+            chi = chi * opening_challenge % R
+            if v["degree_bound"] is not None:
+                b = v["degree_bound"]
+                sw = poly.scale(w, fr.from_int(chi))
+                shifted_parts[b] = (
+                    sw if b not in shifted_parts else poly.add(shifted_parts[b], sw)
+                )
+                if v["shifted_blind"] is not None:
+                    any_hiding = True
+                    random_v = (random_v + chi * _host_poly_eval(v["shifted_blind"], z)) % R
+                    wb = [chi * x % R for x in _host_div_by_linear(v["shifted_blind"], z)]
+                    gamma_blind = wb if gamma_blind is None else [
+                        (a + b2) % R
+                        for a, b2 in zip(
+                            gamma_blind + [0] * max(0, len(wb) - len(gamma_blind)),
+                            wb + [0] * max(0, len(gamma_blind) - len(wb)),
+                        )
+                    ]
+                chi = chi * opening_challenge % R
+
+        w_jac = _msm_at(ck.pp.powers_of_g, 0, w_unshifted)
+        for b, wp in shifted_parts.items():
+            w_jac = cd.add(w_jac, _msm_at(ck.pp.powers_of_g, d - b, wp))
+        if gamma_blind:
+            w_jac = cd.add(
+                w_jac, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(gamma_blind))
+            )
+        w_aff = cd.to_affine_ints(w_jac)[0]
+        proofs.append(PointProof(w=w_aff, random_v=random_v if any_hiding else None))
+    return BatchLCProof(proofs=proofs)
+
+
+def check_combinations(
+    vk: VerifierKey,
+    lc_s: list,
+    comms: dict,
+    query_set: list,
+    evaluations: dict,
+    proof: BatchLCProof,
+    opening_challenge: int,
+    rng: ZkRng,
+) -> bool:
+    """Succinct verification: one combined 2-Miller-loop pairing product.
+
+    evaluations: (lc_label, point) -> claimed value.
+    """
+    virtual_comms = _combine_lc_comms(lc_s, comms, vk.g)
+    groups = _group_query_set(query_set)
+    if len(groups) != len(proof.proofs):
+        return False
+
+    # accumulate Σ_t u_t (C_t - v_t g - rv_t γg + z_t W_t) and Σ_t u_t W_t
+    acc_lhs = None
+    acc_w = None
+    for (pl, z, labels), pp in zip(groups, proof.proofs):
+        chi = 1
+        comb_c = None
+        comb_v = 0
+        for label in labels:
+            vc, bound = virtual_comms[label]
+            if (label, z) not in evaluations:
+                return False
+            v = evaluations[(label, z)]
+            comb_c = hc.g1_add(comb_c, hc.g1_mul(vc.comm, chi))
+            comb_v = (comb_v + chi * v) % R
+            chi = chi * opening_challenge % R
+            if bound is not None:
+                # shifted term: χ'·(shifted_comm - v·τ^(D-b) g); no value part
+                adj = hc.g1_add(
+                    vc.shifted_comm,
+                    hc.g1_neg(hc.g1_mul(vk.get_shift_power(bound), v)),
+                )
+                comb_c = hc.g1_add(comb_c, hc.g1_mul(adj, chi))
+                chi = chi * opening_challenge % R
+        u = rng.rand_fr()
+        lhs_t = hc.g1_add(comb_c, hc.g1_neg(hc.g1_mul(vk.g, comb_v)))
+        if pp.random_v is not None:
+            lhs_t = hc.g1_add(lhs_t, hc.g1_neg(hc.g1_mul(vk.gamma_g, pp.random_v)))
+        lhs_t = hc.g1_add(lhs_t, hc.g1_mul(pp.w, z))
+        acc_lhs = hc.g1_add(acc_lhs, hc.g1_mul(lhs_t, u))
+        acc_w = hc.g1_add(acc_w, hc.g1_mul(pp.w, u))
+
+    if acc_lhs is None:
+        return False
+    # e(acc_lhs, h) * e(-acc_w, beta_h) == 1
+    return hp.multi_pairing([(acc_lhs, vk.h), (hc.g1_neg(acc_w), vk.beta_h)])

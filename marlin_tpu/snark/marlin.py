@@ -1,0 +1,265 @@
+"""The Marlin driver: universal_setup / index / prove / verify.
+
+Rebuild of reference src/lib.rs:64-434 — orchestrates the 3-round AHP with
+polynomial commitments and the Fiat-Shamir transcript.  Device kernels do
+the per-element work; this module sequences rounds and moves challenges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..fields import bls12_381 as P
+from ..utils import profiling
+from ..utils.rand import ZkRng
+from . import ahp, kzg, lc as lc_mod, prover as prover_mod, verifier as verifier_mod
+from .data_structures import (
+    IndexProverKey,
+    IndexVerifierKey,
+    Proof,
+    commitment_to_bytes,
+    field_vec_to_bytes,
+)
+from .domains import Radix2Domain
+from .fs import FiatShamirRng
+from .indexer import index_circuit
+from .prover import LabeledPoly
+
+R = P.R_MODULUS
+
+PROTOCOL_NAME = b"MARLIN-2019"  # reference src/lib.rs:75
+
+
+class MarlinError(Exception):
+    pass
+
+
+class Marlin:
+    """Marlin<Fr, MarlinKZG10, SimpleHashFiatShamirRng<Blake2s, ChaCha>>."""
+
+    # ---- setup -------------------------------------------------------------
+
+    @staticmethod
+    def universal_setup(
+        num_constraints: int, num_variables: int, num_non_zero: int, rng: ZkRng
+    ) -> kzg.UniversalParams:
+        """Reference src/lib.rs:79-96."""
+        max_degree = ahp.max_degree(num_constraints, num_variables, num_non_zero)
+        with profiling.span(
+            f"Marlin::UniversalSetup with max_degree {max_degree}"
+        ):
+            return kzg.setup(max_degree, rng)
+
+    # ---- index -------------------------------------------------------------
+
+    @staticmethod
+    def index(srs: kzg.UniversalParams, circuit):
+        """Reference src/lib.rs:100-148."""
+        with profiling.span("Marlin::Index"):
+            index = index_circuit(circuit)
+            if srs.max_degree() < index.max_degree():
+                raise MarlinError("IndexTooLarge: circuit needs a larger SRS")
+
+            coeff_support = ahp.get_degree_bounds(index.index_info)
+            supported_hiding_bound = 1  # reference src/lib.rs:114
+            ck, vk = kzg.trim(
+                srs, index.max_degree(), supported_hiding_bound, coeff_support
+            )
+
+            with profiling.span("Commit to index polynomials"):
+                labeled = [
+                    LabeledPoly(label, coeffs, bound, None)
+                    for label, coeffs, bound in index.iter_polys()
+                ]
+                index_comms, index_rands = kzg.commit(ck, labeled, None)
+
+            index_vk = IndexVerifierKey(
+                index_info=index.index_info, index_comms=index_comms, verifier_key=vk
+            )
+            index_pk = IndexProverKey(
+                index_vk=index_vk,
+                index_comm_rands=index_rands,
+                index=index,
+                committer_key=ck,
+            )
+            return index_pk, index_vk
+
+    # ---- prove -------------------------------------------------------------
+
+    @staticmethod
+    def prove(index_pk: IndexProverKey, circuit, zk_rng: ZkRng) -> Proof:
+        """Reference src/lib.rs:151-311."""
+        with profiling.span("Marlin::Prover"):
+            state = prover_mod.prover_init(index_pk.index, circuit)
+            public_input = state.public_input()
+
+            fs = FiatShamirRng(
+                PROTOCOL_NAME
+                + index_pk.index_vk.to_bytes()
+                + field_vec_to_bytes(public_input)
+            )
+
+            ck = index_pk.committer_key
+
+            # --- round 1 ---
+            with profiling.span("AHP::Prover::FirstRound"):
+                first_oracles, state = prover_mod.prover_first_round(state, zk_rng)
+            with profiling.span("Committing to first round polys"):
+                first_list = [first_oracles[l] for l in ["w", "z_a", "z_b", "mask_poly"]]
+                first_comms, first_rands = kzg.commit(ck, first_list, zk_rng)
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in first_comms))
+            ver_first, ver_state = verifier_mod.verifier_first_round(
+                index_pk.index_vk.index_info, fs
+            )
+
+            # --- round 2 ---
+            with profiling.span("AHP::Prover::SecondRound"):
+                second_oracles, state = prover_mod.prover_second_round(
+                    ver_first, state, zk_rng
+                )
+            with profiling.span("Committing to second round polys"):
+                second_list = [second_oracles[l] for l in ["t", "g_1", "h_1"]]
+                second_comms, second_rands = kzg.commit(ck, second_list, zk_rng)
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in second_comms))
+            ver_second, ver_state = verifier_mod.verifier_second_round(ver_state, fs)
+
+            # --- round 3 ---
+            with profiling.span("AHP::Prover::ThirdRound"):
+                third_oracles = prover_mod.prover_third_round(ver_second, state, zk_rng)
+            with profiling.span("Committing to third round polys"):
+                third_list = [third_oracles[l] for l in ["g_2", "h_2"]]
+                third_comms, third_rands = kzg.commit(ck, third_list, zk_rng)
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in third_comms))
+            ver_state = verifier_mod.verifier_third_round(ver_state, fs)
+
+            # --- gather oracles ---
+            polys: dict = {}
+            rands: dict = {}
+            for (label, coeffs, bound), r in zip(
+                index_pk.index.iter_polys(), index_pk.index_comm_rands
+            ):
+                polys[label] = LabeledPoly(label, coeffs, bound, None)
+                rands[label] = r
+            for oracles, rs, order in (
+                (first_oracles, first_rands, ["w", "z_a", "z_b", "mask_poly"]),
+                (second_oracles, second_rands, ["t", "g_1", "h_1"]),
+                (third_oracles, third_rands, ["g_2", "h_2"]),
+            ):
+                for label, r in zip(order, rs):
+                    polys[label] = oracles[label]
+                    rands[label] = r
+
+            query_set, ver_state = verifier_mod.verifier_query_set(ver_state)
+            provider = lc_mod.PolyEvaluationsProvider(polys)
+            lc_s = lc_mod.construct_linear_combinations(
+                public_input, provider, ver_state
+            )
+
+            with profiling.span("Evaluating linear combinations over query set"):
+                evaluations = []
+                for label, (_pl, point) in query_set:
+                    the_lc = next((l for l in lc_s if l.label == label), None)
+                    if the_lc is None:
+                        raise MarlinError(f"missing LC {label}")
+                    ev = provider.get_lc_eval(the_lc, point)
+                    if label not in ahp.LC_WITH_ZERO_EVAL:
+                        evaluations.append((label, ev))
+                evaluations.sort(key=lambda t: t[0])
+                eval_values = [v for _, v in evaluations]
+
+            fs.absorb(field_vec_to_bytes(eval_values))
+            opening_challenge = fs.rand_u128() % R  # reference src/lib.rs:290
+
+            pc_proof = kzg.open_combinations(
+                ck, lc_s, polys, rands, query_set, opening_challenge
+            )
+
+            return Proof(
+                commitments=[first_comms, second_comms, third_comms],
+                evaluations=eval_values,
+                prover_messages=[[], [], []],
+                pc_proof=pc_proof,
+            )
+
+    # ---- verify ------------------------------------------------------------
+
+    @staticmethod
+    def verify(
+        index_vk: IndexVerifierKey, public_input: list, proof: Proof, rng: ZkRng
+    ) -> bool:
+        """Reference src/lib.rs:315-433."""
+        with profiling.span("Marlin::Verify"):
+            # re-pad the input like the prover's formatted input (lib.rs:323-333)
+            domain_x = Radix2Domain.new(len(public_input) + 1)
+            padded_input = list(public_input) + [0] * (
+                max(len(public_input), domain_x.size - 1) - len(public_input)
+            )
+
+            fs = FiatShamirRng(
+                PROTOCOL_NAME + index_vk.to_bytes() + field_vec_to_bytes(padded_input)
+            )
+
+            first_comms, second_comms, third_comms = proof.commitments
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in first_comms))
+            try:
+                ver_first, ver_state = verifier_mod.verifier_first_round(
+                    index_vk.index_info, fs
+                )
+            except verifier_mod.VerifierError:
+                return False
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in second_comms))
+            ver_second, ver_state = verifier_mod.verifier_second_round(ver_state, fs)
+            fs.absorb(b"".join(commitment_to_bytes(c) for c in third_comms))
+            ver_state = verifier_mod.verifier_third_round(ver_state, fs)
+
+            info = index_vk.index_info
+            degree_bounds = (
+                [None] * len(index_vk.index_comms)
+                + ahp.first_round_degree_bounds(info)
+                + ahp.second_round_degree_bounds(info)
+                + ahp.third_round_degree_bounds(info)
+            )
+            all_comms = (
+                list(index_vk.index_comms) + first_comms + second_comms + third_comms
+            )
+            labeled_comms = {
+                label: kzg.LabeledCommitment(label, c, b)
+                for label, c, b in zip(ahp.polynomial_labels(), all_comms, degree_bounds)
+            }
+
+            query_set, ver_state = verifier_mod.verifier_query_set(ver_state)
+
+            fs.absorb(field_vec_to_bytes(proof.evaluations))
+            opening_challenge = fs.rand_u128() % R
+
+            evaluations = {}
+            labels_needing_evals = []
+            for label, (_pl, point) in query_set:
+                if label in ahp.LC_WITH_ZERO_EVAL:
+                    evaluations[(label, point)] = 0
+                else:
+                    labels_needing_evals.append((label, point))
+            labels_needing_evals.sort(key=lambda t: t[0])
+            if len(labels_needing_evals) != len(proof.evaluations):
+                return False
+            for (label, point), v in zip(labels_needing_evals, proof.evaluations):
+                evaluations[(label, point)] = v % R
+
+            provider = lc_mod.MapEvaluationsProvider(evaluations)
+            try:
+                lc_s = lc_mod.construct_linear_combinations(
+                    padded_input, provider, ver_state
+                )
+            except lc_mod.LcError:
+                return False
+
+            return kzg.check_combinations(
+                index_vk.verifier_key,
+                lc_s,
+                labeled_comms,
+                query_set,
+                evaluations,
+                proof.pc_proof,
+                opening_challenge,
+                rng,
+            )

@@ -1,0 +1,88 @@
+"""Device curve/MSM kernels vs. the host golden reference."""
+
+import random
+
+import jax.numpy as jnp
+
+from marlin_tpu.fields import bls12_381 as P
+from marlin_tpu.fields import host_curve as hc
+from marlin_tpu.ops import curve_device as cd
+from marlin_tpu.ops import fr, msm
+
+rng = random.Random(99)
+
+
+def _rand_points(n):
+    return [hc.g1_mul(hc.G1_GEN, rng.randrange(1, P.R_MODULUS)) for _ in range(n)]
+
+
+def test_add_double_roundtrip():
+    pts = _rand_points(8)
+    dev = cd.from_affine_ints(pts)
+    assert cd.to_affine_ints(dev) == pts
+    # P + P == double(P) == host 2P
+    doubled = cd.to_affine_ints(cd.double(dev))
+    assert doubled == [hc.g1_add(p, p) for p in pts]
+    added = cd.to_affine_ints(cd.add(dev, dev))
+    assert added == doubled
+
+
+def test_add_mixed_cases():
+    p = _rand_points(1)[0]
+    q = _rand_points(1)[0]
+    cases = [
+        (p, q),  # generic
+        (p, p),  # equal -> double
+        (p, hc.g1_neg(p)),  # inverse -> identity
+        (None, q),  # identity lhs
+        (p, None),  # identity rhs
+        (None, None),
+    ]
+    a = cd.from_affine_ints([x for x, _ in cases])
+    b = cd.from_affine_ints([y for _, y in cases])
+    got = cd.to_affine_ints(cd.add(a, b))
+    exp = [hc.g1_add(x, y) for x, y in cases]
+    assert got == exp
+
+
+def test_tree_reduce():
+    pts = _rand_points(7)
+    dev = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(cd.tree_reduce_add(dev))[0]
+    exp = None
+    for p in pts:
+        exp = hc.g1_add(exp, p)
+    assert got == exp
+
+
+def test_scalar_mul_batch():
+    pts = _rand_points(4)
+    scalars = [rng.randrange(P.R_MODULUS) for _ in range(4)] + [0, 1]
+    pts += _rand_points(2)
+    from marlin_tpu.ops.limbs import ints_to_limbs
+
+    dev = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(cd.scalar_mul_batch(dev, jnp.asarray(ints_to_limbs(scalars, 16))))
+    exp = [hc.g1_mul(p, s) for p, s in zip(pts, scalars)]
+    assert got == exp
+
+
+def test_msm_small():
+    n = 30
+    pts = _rand_points(n)
+    scalars = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    scalars[0] = 0  # zero scalar
+    scalars[1] = scalars[2]  # repeated digits
+    dev_pts = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(msm.msm(dev_pts, fr.from_ints(scalars)))[0]
+    exp = hc.g1_msm(pts, scalars)
+    assert got == exp
+
+
+def test_msm_default_window():
+    n = 12
+    pts = _rand_points(n)
+    scalars = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    dev_pts = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(msm.msm(dev_pts, fr.from_ints(scalars)))[0]
+    assert got == hc.g1_msm(pts, scalars)
