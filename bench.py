@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Marlin prover benchmark — prints ONE JSON line.
+
+Methodology mirrors reference benches/bench.rs: DummyCircuit with
+`num_constraints` constraints / 10 witness variables, universal SRS sized
+(n, n, 3n), mean prover wall time over reps, reported as ns/constraint
+(benches/bench.rs:94-107).  PC scheme is the Marlin KZG10 variant.
+
+Env knobs: MARLIN_BENCH_CONSTRAINTS (default 2^14), MARLIN_BENCH_REPS
+(default 3).  `vs_baseline` compares against the reference's multi-threaded
+Xeon 6136 per-constraint time at 2^16 (BASELINE.md — the repo publishes
+graphs, not numbers; 25 µs/constraint is the documented estimate used
+here).  vs_baseline > 1 means faster than the reference baseline.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+
+BASELINE_NS_PER_CONSTRAINT = 25_000.0
+
+
+def main():
+    num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << 14))
+    reps = int(os.environ.get("MARLIN_BENCH_REPS", 3))
+
+    from circuits import DummyCircuit
+
+    from marlin_tpu import Marlin
+    from marlin_tpu.fields import bls12_381 as P
+    from marlin_tpu.utils.rand import test_rng
+
+    rng = test_rng()
+    a = rng.rand_fr()
+    b = rng.rand_fr()
+    circ = DummyCircuit(a, b, num_variables=10, num_constraints=num_constraints)
+
+    srs = Marlin.universal_setup(num_constraints, num_constraints, 3 * num_constraints, rng)
+    pk, vk = Marlin.index(srs, circ)
+
+    # warmup: compile every kernel shape
+    proof = Marlin.prove(pk, circ, rng)
+    assert Marlin.verify(vk, [a * b % P.R_MODULUS], proof, rng), "bench proof must verify"
+
+    start = time.perf_counter()
+    for _ in range(reps):
+        proof = Marlin.prove(pk, circ, rng)
+    elapsed = time.perf_counter() - start
+
+    ns_per_constraint = elapsed / reps / num_constraints * 1e9
+    print(
+        json.dumps(
+            {
+                "metric": f"prover_ns_per_constraint@2^{num_constraints.bit_length() - 1}",
+                "value": round(ns_per_constraint, 1),
+                "unit": "ns/constraint",
+                "vs_baseline": round(BASELINE_NS_PER_CONSTRAINT / ns_per_constraint, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -96,14 +96,98 @@ def g1_is_on_curve(p) -> bool:
     return (y * y - (x * x * x + P.CURVE_B)) % Q == 0
 
 
-def g1_msm(points, scalars):
-    """Reference MSM (host).  The production path is ops/msm.py on device."""
-    acc = None
-    for p, s in zip(points, scalars):
-        if s % P.R_MODULUS == 0 or p is None:
-            continue
-        acc = g1_add(acc, g1_mul(p, s))
-    return acc
+# --- host Jacobian arithmetic (no per-add inversions) ------------------------
+# Used by the host MSM path; (X, Y, Z) with Z == 0 for identity.
+
+
+def _jac_double(p):
+    X, Y, Z = p
+    if Z == 0 or Y == 0:
+        return (0, 1, 0)
+    A = X * X % Q
+    B = Y * Y % Q
+    C = B * B % Q
+    D = 2 * ((X + B) * (X + B) - A - C) % Q
+    E = 3 * A % Q
+    X3 = (E * E - 2 * D) % Q
+    Y3 = (E * (D - X3) - 8 * C) % Q
+    Z3 = 2 * Y * Z % Q
+    return (X3, Y3, Z3)
+
+
+def _jac_add(p, q):
+    if p[2] == 0:
+        return q
+    if q[2] == 0:
+        return p
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    Z1Z1 = Z1 * Z1 % Q
+    Z2Z2 = Z2 * Z2 % Q
+    U1 = X1 * Z2Z2 % Q
+    U2 = X2 * Z1Z1 % Q
+    S1 = Y1 * Z2 * Z2Z2 % Q
+    S2 = Y2 * Z1 * Z1Z1 % Q
+    if U1 == U2:
+        if S1 != S2:
+            return (0, 1, 0)
+        return _jac_double(p)
+    H = (U2 - U1) % Q
+    I = 4 * H * H % Q
+    J = H * I % Q
+    r = 2 * (S2 - S1) % Q
+    V = U1 * I % Q
+    X3 = (r * r - J - 2 * V) % Q
+    Y3 = (r * (V - X3) - 2 * S1 * J) % Q
+    Z3 = (((Z1 + Z2) * (Z1 + Z2) - Z1Z1 - Z2Z2) % Q) * H % Q
+    return (X3, Y3, Z3)
+
+
+def _jac_from_affine(p):
+    return (0, 1, 0) if p is None else (p[0], p[1], 1)
+
+
+def _jac_to_affine(p):
+    if p[2] == 0:
+        return None
+    zinv = pow(p[2], -1, Q)
+    zinv2 = zinv * zinv % Q
+    return (p[0] * zinv2 % Q, p[1] * zinv2 * zinv % Q)
+
+
+def g1_msm(points, scalars, window: int = 8):
+    """Host Pippenger MSM with Jacobian buckets.
+
+    The host fallback for small commitment batches; the production path is
+    ops/msm.py on device.
+    """
+    pairs = [
+        (_jac_from_affine(p), s % P.R_MODULUS)
+        for p, s in zip(points, scalars)
+        if p is not None and s % P.R_MODULUS != 0
+    ]
+    if not pairs:
+        return None
+    c = window
+    num_windows = -(-255 // c)
+    total = (0, 1, 0)
+    for w in range(num_windows - 1, -1, -1):
+        for _ in range(c if w != num_windows - 1 else 0):
+            total = _jac_double(total)
+        buckets = [(0, 1, 0)] * ((1 << c) - 1)
+        shift = w * c
+        mask = (1 << c) - 1
+        for pt, s in pairs:
+            d = (s >> shift) & mask
+            if d:
+                buckets[d - 1] = _jac_add(buckets[d - 1], pt)
+        running = (0, 1, 0)
+        acc = (0, 1, 0)
+        for b in range(len(buckets) - 1, -1, -1):
+            running = _jac_add(running, buckets[b])
+            acc = _jac_add(acc, running)
+        total = _jac_add(total, acc)
+    return _jac_to_affine(total)
 
 
 # --- G2 ----------------------------------------------------------------------

@@ -41,6 +41,35 @@ def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd
     return cd.tree_reduce_add(muls)
 
 
+def msm_many(powers: cd.Point, jobs: list) -> list:
+    """Batch several MSMs over slices of one fixed point array.
+
+    jobs: list of (offset, scalars_mont [n_j, 16]) — the points of job j are
+    powers[offset : offset+n_j].  All jobs share a single double-and-add
+    ladder pass (the expensive 255-iteration kernel), then each segment is
+    tree-reduced separately.  This is how a whole commit round's MSMs run as
+    one kernel launch (SURVEY.md §2c item 4: fused per-round multi-MSM).
+    """
+    if not jobs:
+        return []
+    pts_parts = []
+    scal_parts = []
+    bounds = [0]
+    for off, scal in jobs:
+        n_j = scal.shape[0]
+        pts_parts.append(tuple(powers[i][off : off + n_j] for i in range(3)))
+        scal_parts.append(scal)
+        bounds.append(bounds[-1] + n_j)
+    pts = tuple(jnp.concatenate([p[i] for p in pts_parts], axis=0) for i in range(3))
+    scal = jnp.concatenate(scal_parts, axis=0)
+    muls = cd.scalar_mul_batch(pts, bi.from_mont(fr.CTX, scal), FR_BITS)
+    out = []
+    for j in range(len(jobs)):
+        seg = tuple(muls[i][bounds[j] : bounds[j + 1]] for i in range(3))
+        out.append(cd.tree_reduce_add(seg))
+    return out
+
+
 def fixed_base_powers(base_affine: tuple, scalar_ints: list) -> cd.Point:
     """[s_0*G, s_1*G, ...] as a Jacobian batch — batched double-and-add.
 

@@ -56,6 +56,9 @@ class UniversalParams:
     gamma_g: tuple
     h: tuple  # host G2 affine
     beta_h: tuple
+    # host-side prefix of the gamma powers: blinding polynomials are tiny
+    # (degree hiding_bound+1 = 2), so their MSMs run on the host
+    host_gamma_powers: list = None
 
     def max_degree(self) -> int:
         return self.powers_of_g[0].shape[0] - 1
@@ -135,13 +138,16 @@ def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
 
     h = hc.G2_GEN
     beta_h = hc.g2_mul(h, tau)
+    n_prefix = min(8, max_degree + 2)
+    host_gamma = cd.to_affine_ints(cd.gather(powers_gamma, jnp.arange(n_prefix)))
     return UniversalParams(
         powers_of_g=powers_g,
         powers_of_gamma_g=powers_gamma,
         g=hc.G1_GEN,
-        gamma_g=cd.to_affine_ints(cd.gather(powers_gamma, jnp.array([0])))[0],
+        gamma_g=host_gamma[0],
         h=h,
         beta_h=beta_h,
+        host_gamma_powers=host_gamma,
     )
 
 
@@ -198,12 +204,62 @@ def _rand_blind(hiding_bound: int, rng: ZkRng) -> list:
     return rng.rand_fr_list(hiding_bound + 2)
 
 
+def _host_gamma_msm(ck: CommitterKey, coeffs: list):
+    """Tiny blinding-poly MSM over the host gamma-power prefix."""
+    prefix = ck.pp.host_gamma_powers
+    if prefix is None or len(coeffs) > len(prefix):
+        raise PCError("blinding polynomial exceeds host gamma-power prefix")
+    return hc.g1_msm(prefix[: len(coeffs)], coeffs)
+
+
+# below this total job size, host group arithmetic beats the device ladder
+# (per-op dispatch dominates tiny kernels; the bench path at 2^14+ always
+# takes the device route)
+_HOST_MSM_THRESHOLD = 2048
+_HOST_POWERS_MAX = 4096
+
+
+def _ensure_host_powers(pp: UniversalParams) -> list | None:
+    """Lazily materialize host affine copies of the G1 powers (small SRS only)."""
+    if getattr(pp, "_host_powers", None) is not None:
+        return pp._host_powers
+    n = pp.powers_of_g[0].shape[0]
+    if n > _HOST_POWERS_MAX:
+        return None
+    pp._host_powers = cd.to_affine_ints(pp.powers_of_g)
+    return pp._host_powers
+
+
+def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
+    """Run (offset, scalars_mont) MSM jobs over the G1 powers -> host affine."""
+    from ..ops import msm as msm_mod
+
+    total = sum(scal.shape[0] for _, scal in jobs)
+    if total <= _HOST_MSM_THRESHOLD:
+        host_powers = _ensure_host_powers(ck.pp)
+        if host_powers is not None:
+            out = []
+            for off, scal in jobs:
+                ints = fr.to_ints(scal)
+                out.append(hc.g1_msm(host_powers[off : off + len(ints)], ints))
+            return out
+    jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs)
+    stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
+    return cd.to_affine_ints(stacked)
+
+
 def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):
     """-> (list[Commitment], list[Randomness]); labeled_polys entries expose
     .label / .coeffs / .degree_bound / .hiding_bound (reference PC::commit
-    call sites src/lib.rs:125,172,193,213)."""
-    jacs = []  # (index, kind, jacobian) to batch-normalize at the end
-    comms_meta = []
+    call sites src/lib.rs:125,172,193,213).
+
+    All the round's MSMs share one fused ladder pass (msm_many); the tiny
+    blinding-poly commitments are host group ops added after normalization.
+    """
+    from ..ops import msm as msm_mod
+
+    jobs = []
+    meta = []
     rands = []
     d = ck.max_degree
     for lp in labeled_polys:
@@ -216,42 +272,33 @@ def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):
                 raise PCError(f"{lp.label}: unsupported degree bound {lp.degree_bound}")
             if deg > lp.degree_bound:
                 raise PCError(f"{lp.label}: degree {deg} exceeds bound {lp.degree_bound}")
-        c = _msm_at(ck.pp.powers_of_g, 0, coeffs)
         r = Randomness.empty()
+        entry = {"main": len(jobs), "shifted": None, "rand": r}
+        jobs.append((0, coeffs))
         if lp.hiding_bound is not None:
             assert rng is not None
             r.blind = _rand_blind(lp.hiding_bound, rng)
-            c = cd.add(c, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(r.blind)))
-        entry = {"comm": c, "shifted": None}
         if lp.degree_bound is not None:
-            sc = _msm_at(ck.pp.powers_of_g, d - lp.degree_bound, coeffs)
+            entry["shifted"] = len(jobs)
+            jobs.append((d - lp.degree_bound, coeffs))
             if lp.hiding_bound is not None:
                 r.shifted_blind = _rand_blind(lp.hiding_bound, rng)
-                sc = cd.add(
-                    sc, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(r.shifted_blind))
-                )
-            entry["shifted"] = sc
-        comms_meta.append(entry)
+        meta.append(entry)
         rands.append(r)
 
-    # batch-normalize every produced point in one conversion
-    all_pts = []
-    for e in comms_meta:
-        all_pts.append(e["comm"])
-        if e["shifted"] is not None:
-            all_pts.append(e["shifted"])
-    if all_pts:
-        stacked = tuple(jnp.concatenate([p[i] for p in all_pts], axis=0) for i in range(3))
-        affs = cd.to_affine_ints(stacked)
+    affs = _run_msm_jobs(ck, jobs)
+
     out = []
-    k = 0
-    for e in comms_meta:
-        comm = affs[k]
-        k += 1
+    for e in meta:
+        r = e["rand"]
+        comm = affs[e["main"]]
+        if r.blind is not None:
+            comm = hc.g1_add(comm, _host_gamma_msm(ck, r.blind))
         shifted = None
         if e["shifted"] is not None:
-            shifted = affs[k]
-            k += 1
+            shifted = affs[e["shifted"]]
+            if r.shifted_blind is not None:
+                shifted = hc.g1_add(shifted, _host_gamma_msm(ck, r.shifted_blind))
         out.append(Commitment(comm=comm, shifted_comm=shifted))
     return out, rands
 
@@ -397,9 +444,11 @@ def open_combinations(
     polys: label -> LabeledPoly; rands: label -> Randomness;
     query_set entries reference LC labels.
     """
+    from ..ops import msm as msm_mod
+
     virtual = _combine_lc_polys(lc_s, polys, rands)
     d = ck.max_degree
-    proofs = []
+    per_point = []
     for _pl, z, labels in _group_query_set(query_set):
         z_dev = fr.from_int(z)
         chi = 1
@@ -444,15 +493,29 @@ def open_combinations(
                     ]
                 chi = chi * opening_challenge % R
 
-        w_jac = _msm_at(ck.pp.powers_of_g, 0, w_unshifted)
-        for b, wp in shifted_parts.items():
-            w_jac = cd.add(w_jac, _msm_at(ck.pp.powers_of_g, d - b, wp))
-        if gamma_blind:
-            w_jac = cd.add(
-                w_jac, _msm_at(ck.pp.powers_of_gamma_g, 0, fr.from_ints(gamma_blind))
-            )
-        w_aff = cd.to_affine_ints(w_jac)[0]
-        proofs.append(PointProof(w=w_aff, random_v=random_v if any_hiding else None))
+        jobs = [(0, w_unshifted)] + [(d - b, wp) for b, wp in shifted_parts.items()]
+        per_point.append(
+            {
+                "jobs": jobs,
+                "gamma_blind": gamma_blind,
+                "random_v": random_v if any_hiding else None,
+            }
+        )
+
+    # fuse every point's witness MSMs into one pass
+    all_jobs = [j for p in per_point for j in p["jobs"]]
+    affs = _run_msm_jobs(ck, all_jobs)
+    proofs = []
+    k = 0
+    for p in per_point:
+        w_aff = affs[k]
+        k += 1
+        for _ in range(len(p["jobs"]) - 1):
+            w_aff = hc.g1_add(w_aff, affs[k])
+            k += 1
+        if p["gamma_blind"]:
+            w_aff = hc.g1_add(w_aff, _host_gamma_msm(ck, p["gamma_blind"]))
+        proofs.append(PointProof(w=w_aff, random_v=p["random_v"]))
     return BatchLCProof(proofs=proofs)
 
 

@@ -1,0 +1,90 @@
+"""End-to-end integration tests (reference src/test.rs:116-230).
+
+The five matrix-shape tests sweep the padding paths (tall/squat/square);
+each runs index -> prove -> verify with fresh witnesses plus the negative
+check that a wrong public input rejects.  Iteration counts are reduced from
+the reference's 100 (the compiled kernels are shape-cached, so one
+iteration exercises the same code paths).
+"""
+
+import pytest
+from circuits import Circuit, OutlineTestCircuit
+
+from marlin_tpu import Marlin
+from marlin_tpu.fields import bls12_381 as P
+from marlin_tpu.utils.rand import ZkRng, test_rng
+
+R = P.R_MODULUS
+
+
+@pytest.fixture(scope="module")
+def srs():
+    return Marlin.universal_setup(100, 25, 300, test_rng())
+
+
+def _test_circuit(srs, num_constraints, num_variables, iterations=1):
+    rng = test_rng()
+    for it in range(iterations):
+        a = rng.rand_fr()
+        b = rng.rand_fr()
+        c = a * b % R
+        d = c * b % R
+        circ = Circuit(a, b, num_constraints, num_variables)
+        pk, vk = Marlin.index(srs, circ)
+        proof = Marlin.prove(pk, circ, rng)
+        assert Marlin.verify(vk, [c, d], proof, rng)
+        assert not Marlin.verify(vk, [a, a], proof, rng)
+
+
+@pytest.mark.slow
+def test_tall_matrix_big(srs):
+    _test_circuit(srs, 100, 25, iterations=2)
+
+
+@pytest.mark.slow
+def test_tall_matrix_small(srs):
+    _test_circuit(srs, 26, 25)
+
+
+@pytest.mark.slow
+def test_squat_matrix_big(srs):
+    _test_circuit(srs, 25, 100)
+
+
+@pytest.mark.slow
+def test_squat_matrix_small(srs):
+    _test_circuit(srs, 25, 26)
+
+
+@pytest.mark.slow
+def test_square_matrix(srs):
+    _test_circuit(srs, 25, 25)
+
+
+@pytest.mark.slow
+def test_outlining():
+    """OutlineTestCircuit exercises Weight-goal LC outlining
+    (reference src/test.rs:206-229)."""
+    rng = test_rng()
+    srs = Marlin.universal_setup(150, 150, 150, rng)
+    circ = OutlineTestCircuit()
+    pk, vk = Marlin.index(srs, circ)
+    proof = Marlin.prove(pk, circ, rng)
+    assert Marlin.verify(vk, list(range(5)), proof, rng)
+
+
+@pytest.mark.slow
+def test_proof_size(srs):
+    rng = test_rng()
+    a, b = 3, 5
+    circ = Circuit(a, b, 100, 25)
+    pk, vk = Marlin.index(srs, circ)
+    proof = Marlin.prove(pk, circ, rng)
+    stats = proof.print_size_info()
+    # 13 commitments: 11 unbounded + 2 degree-bounded (g_1, g_2)
+    assert stats["num_comms_without_degree_bounds"] == 7
+    assert stats["num_comms_with_degree_bounds"] == 2
+    assert stats["num_evaluations"] == 4
+    assert stats["num_opening_proofs"] == 2
+    # same ballpark as the reference's 880-byte MarlinKZG10 proofs
+    assert stats["argument_size_bytes"] < 1200

@@ -1,0 +1,60 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The distributed dimension the reference never had to test
+(SURVEY.md §4 "Implication"): sharded NTT/MSM must be bitwise identical to
+the single-chip kernels.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from marlin_tpu.fields import bls12_381 as P
+from marlin_tpu.fields import host_curve as hc
+from marlin_tpu.ops import curve_device as cd
+from marlin_tpu.ops import fr, msm, ntt
+from marlin_tpu.parallel.msm_sharded import msm_sharded
+from marlin_tpu.parallel.ntt_sharded import ntt_4step
+
+rng = random.Random(5)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return Mesh(np.array(devs[:8]), ("x",))
+
+
+def test_ntt_4step_matches_single_chip(mesh):
+    n = 1 << 10  # n1 = n2 = 32, divisible by 8
+    coeffs = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    X = fr.from_ints(coeffs)
+    single = ntt.ntt(X, n)
+    multi = ntt_4step(X, mesh)
+    assert jnp.array_equal(single, multi), "sharded NTT differs from single-chip"
+
+
+def test_intt_4step_roundtrip(mesh):
+    n = 1 << 10
+    coeffs = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    X = fr.from_ints(coeffs)
+    evals = ntt_4step(X, mesh)
+    back = ntt_4step(evals, mesh, inverse=True)
+    assert fr.to_ints(back) == coeffs
+
+
+def test_msm_sharded_matches_single_chip(mesh):
+    n = 16
+    pts = [hc.g1_mul(hc.G1_GEN, rng.randrange(1, P.R_MODULUS)) for _ in range(n)]
+    scal = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    dev = cd.from_affine_ints(pts)
+    sm = fr.from_ints(scal)
+    single = cd.to_affine_ints(msm.msm(dev, sm))[0]
+    multi = cd.to_affine_ints(msm_sharded(dev, sm, mesh))[0]
+    assert single == multi == hc.g1_msm(pts, scal)
