@@ -3,42 +3,173 @@
 The `PC::commit` hot loop (reference call sites src/lib.rs:125,172,193,213,
 292 — SURVEY.md §2c item 3) rebuilt TPU-first.
 
-Current production path: batched double-and-add over all points (one
-compiled kernel, fully lane-parallel) followed by a fan-in-16 tree
-reduction.  This trades ~2x arithmetic against the scatter-style Pippenger
-bucket walk, which does not vectorize on the TPU; XLA compile size (the
-binding constraint for deep point-arithmetic graphs) stays small because the
-whole MSM reuses two fixed kernels.  A sorted-segmented-scan Pippenger
-(windowed digits, segment-boundary bucket sums, suffix-scan combine) is the
-planned upgrade once per-level scans are split into separately-compiled
-stages.
+Two paths:
 
+* **Pippenger (large batches)** — windowed digits computed host-side from
+  the canonical scalar limbs; for each window the host lays out a
+  bucket-matrix permutation (argsort + bincount, microseconds of numpy) and
+  a single compiled device kernel gathers points into a `[2^c, cap]` bucket
+  matrix, tree-reduces the rows, and combines buckets with two
+  Hillis-Steele point scans.  Scatter-style bucket walks don't vectorize on
+  a TPU; this formulation keeps every step a wide batched kernel while
+  doing ~W*(n + 2c·2^c) point-adds — the classic Pippenger work bound.
+
+* **Ladder (small batches)** — batched double-and-add over all points plus
+  a fan-in-16 tree reduction; fewer kernels, better for tiny inputs.
+
+XLA compile size is the binding constraint for deep point-arithmetic
+graphs, so both paths are built from a handful of fixed compiled kernels.
 The multi-chip variant (partition points across the mesh, reduce partial
 sums) lives in parallel/msm_sharded.py.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import bls12_381 as P
 from . import bigint as bi
 from . import curve_device as cd
-from . import fr
+from . import fq, fr
 
 FR_BITS = 255
+
+# below this size the ladder path wins (fewer kernel launches)
+_PIPPENGER_MIN = 1 << 10
+
+
+def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
+    """Inclusive point-add scan over a [n] batch (one add instance, log n
+    fori iterations)."""
+    n = pts[0].shape[0]
+    log_n = max((n - 1).bit_length(), 1)
+    idx = jnp.arange(n)
+
+    def body(k, p):
+        off = jnp.int32(1) << k
+        src = idx + off if reverse else idx - off
+        valid = (src < n) if reverse else (src >= 0)
+        src = jnp.clip(src, 0, n - 1)
+        shifted = cd.gather(p, src)
+        combined = cd.add(p, shifted)
+        return cd.select_point(valid, combined, p)
+
+    return jax.lax.fori_loop(0, log_n, body, pts)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> cd.Point:
+    """One Pippenger window: T_w = Σ_b b * S_b.
+
+    layout: [2^c * cap] int32 — index into `points` for each bucket-matrix
+    slot, or -1 for an empty slot (filled with the identity).
+    """
+    nb = 1 << c
+    filled = layout >= 0
+    src = jnp.clip(layout, 0, points[0].shape[0] - 1)
+    g = cd.gather(points, src)
+    ident = cd.identity((layout.shape[0],))
+    mat = cd.select_point(filled, g, ident)
+    mat = tuple(m.reshape(nb, cap, -1) for m in mat)
+
+    # reduce bucket rows: halve the column axis log2(cap) times
+    w = cap
+    while w > 1:
+        half = w // 2
+        left = tuple(m[:, :half] for m in mat)
+        right = tuple(m[:, half : 2 * half] for m in mat)
+        mat = cd.add(left, right)
+        w = half
+    buckets = tuple(m[:, 0] for m in mat)  # [nb]
+
+    # zero out bucket 0 (digit 0 contributes nothing)
+    first = jnp.arange(nb) == 0
+    buckets = cd.select_point(first, cd.identity((nb,)), buckets)
+
+    # Σ_b b*S_b = Σ_{j>=1} suffix_j ; two Hillis scans
+    suffix = _hillis_scan_add(buckets, reverse=True)  # S'_j = Σ_{b>=j} S_b
+    suffix = cd.select_point(first, cd.identity((nb,)), suffix)  # drop j=0 term
+    totals = _hillis_scan_add(suffix, reverse=False)
+    return tuple(t[-1:] for t in totals)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _combine_windows(windows_stacked: cd.Point, c: int) -> cd.Point:
+    """Horner combine over [W, 1] window sums: total = Σ_w 2^(cw) T_w.
+
+    Nested fori loops keep the compiled graph to one double + one add
+    instance (doubling the identity is a no-op, so no first-iteration
+    special case is needed).
+    """
+    num_windows = windows_stacked[0].shape[0]
+
+    def body(i, total):
+        total = jax.lax.fori_loop(0, c, lambda _, t: cd.double(t), total)
+        w = num_windows - 1 - i
+        t_w = tuple(a[w] for a in windows_stacked)
+        return cd.add(total, t_w)
+
+    return jax.lax.fori_loop(0, num_windows, body, cd.identity((1,)))
+
+
+def _digits_np(scal: np.ndarray, c: int, w: int) -> np.ndarray:
+    off = w * c
+    l = off // 16
+    o = off % 16
+    lo = scal[:, l].astype(np.uint32)
+    hi = scal[:, l + 1].astype(np.uint32) if l + 1 < scal.shape[1] else np.zeros_like(lo)
+    word = lo | (hi << np.uint32(16))
+    return (word >> np.uint32(o)) & np.uint32((1 << c) - 1)
+
+
+def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
+    """Windowed-bucket MSM; see module docstring."""
+    n = points[0].shape[0]
+    if c is None:
+        c = max(4, min(13, n.bit_length() - 4))
+    scal = np.asarray(bi.from_mont(fr.CTX, scalars_mont))
+    num_windows = -(-FR_BITS // c)
+    nb = 1 << c
+
+    all_digits = [_digits_np(scal, c, w) for w in range(num_windows)]
+    max_count = max(int(np.bincount(d, minlength=nb).max()) for d in all_digits)
+    cap = 1 << max(0, (max_count - 1)).bit_length()
+
+    windows = []
+    for d in all_digits:
+        order = np.argsort(d, kind="stable")
+        d_sorted = d[order]
+        counts = np.bincount(d_sorted, minlength=nb)
+        starts = np.zeros(nb, dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        col = np.arange(n) - starts[d_sorted]
+        layout = np.full(nb * cap, -1, dtype=np.int32)
+        layout[d_sorted * cap + col] = order
+        windows.append(_window_kernel(points, jnp.asarray(layout), c, int(cap)))
+    stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
+    return _combine_windows(stacked, c)
+
+
+def msm_ladder(points: cd.Point, scalars_mont: jnp.ndarray) -> cd.Point:
+    """Batched double-and-add + tree reduction (small batches)."""
+    scal = bi.from_mont(fr.CTX, scalars_mont)
+    muls = cd.scalar_mul_batch(points, scal, FR_BITS)
+    return cd.tree_reduce_add(muls)
 
 
 def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
     """Σ_i s_i P_i -> single Jacobian point (shape [1]).
 
     points: [n] Jacobian batch (Z=1 for affine inputs, Z=0 identity).
-    scalars_mont: [n, 16] Fr Montgomery limbs.  `c` is accepted for API
-    compatibility with the windowed variant.
+    scalars_mont: [n, 16] Fr Montgomery limbs.
     """
-    scal = bi.from_mont(fr.CTX, scalars_mont)
-    muls = cd.scalar_mul_batch(points, scal, FR_BITS)
-    return cd.tree_reduce_add(muls)
+    if points[0].shape[0] >= _PIPPENGER_MIN:
+        return msm_pippenger(points, scalars_mont, c)
+    return msm_ladder(points, scalars_mont)
 
 
 def msm_many(powers: cd.Point, jobs: list) -> list:
@@ -52,6 +183,14 @@ def msm_many(powers: cd.Point, jobs: list) -> list:
     """
     if not jobs:
         return []
+    total = sum(scal.shape[0] for _, scal in jobs)
+    if total >= _PIPPENGER_MIN:
+        out = []
+        for off, scal in jobs:
+            n_j = scal.shape[0]
+            pts = tuple(powers[i][off : off + n_j] for i in range(3))
+            out.append(msm_pippenger(pts, scal))
+        return out
     pts_parts = []
     scal_parts = []
     bounds = [0]

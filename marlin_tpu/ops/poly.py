@@ -108,6 +108,18 @@ def evaluate_many(p: jnp.ndarray, zs: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [evaluate(p, z) for z in zs]
 
 
+@jax.jit
+def evaluate_batch(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate a stack of (padded) polynomials at one point.
+
+    coeffs: [m, len, 16]; z: [16] -> [m, 16].  One kernel for all the
+    query-set evaluations of a round (reference src/lib.rs:272-287).
+    """
+    pw = powers(z, coeffs.shape[1])
+    prods = fr.mul(coeffs, pw[None, :, :])
+    return jax.vmap(fr.modsum)(prods)
+
+
 def _suffix_sums(x: jnp.ndarray) -> jnp.ndarray:
     """Reversed inclusive prefix-sum over Fr (log-depth associative scan)."""
     return jax.lax.associative_scan(fr.add, x, reverse=True)

@@ -34,6 +34,21 @@ class MarlinError(Exception):
     pass
 
 
+def _prefetch_evaluations(provider, polys, plan) -> None:
+    """Populate the provider's (label, point) cache with batched kernels."""
+    import jax.numpy as jnp
+
+    from ..ops import fr, poly as poly_ops
+
+    for point, labels in plan:
+        arrs = [polys[l].coeffs for l in labels]
+        max_len = max(a.shape[0] for a in arrs)
+        stacked = jnp.stack([poly_ops.pad_to(a, max_len) for a in arrs])
+        vals = fr.to_ints(poly_ops.evaluate_batch(stacked, fr.from_int(point)))
+        for l, v in zip(labels, vals):
+            provider._cache[(l, point)] = v
+
+
 class Marlin:
     """Marlin<Fr, MarlinKZG10, SimpleHashFiatShamirRng<Blake2s, ChaCha>>."""
 
@@ -151,6 +166,21 @@ class Marlin:
 
             query_set, ver_state = verifier_mod.verifier_query_set(ver_state)
             provider = lc_mod.PolyEvaluationsProvider(polys)
+            # Batch all needed oracle evaluations into two device kernels
+            # (one per query point) and a single host transfer.
+            beta = ver_state.second_round_msg.beta
+            gamma = ver_state.gamma
+            _prefetch_evaluations(
+                provider,
+                polys,
+                [
+                    (beta, ["g_1", "h_1", "mask_poly", "t", "w", "z_a", "z_b"]),
+                    (
+                        gamma,
+                        ["a_val", "b_val", "c_val", "col", "g_2", "h_2", "row", "row_col"],
+                    ),
+                ],
+            )
             lc_s = lc_mod.construct_linear_combinations(
                 public_input, provider, ver_state
             )

@@ -1,8 +1,10 @@
 """AHP prover: three rounds of oracle polynomials (reference src/ahp/prover.rs).
 
-All per-element work runs on device as batched Fr limb programs (NTTs,
-Hadamard combines, batched inversions, segment scatters); the host only
-sequences rounds and moves the handful of challenge scalars.
+Each round's device math is fused into a single jitted kernel
+(`_round{1,2,3}_core`) so a prove issues only a handful of device dispatches
+— the TPU-first replacement for the reference's many small rayon loops.
+The host sequences rounds, runs the Fiat-Shamir transcript, and moves only
+challenge scalars and final evaluations across the host/device boundary.
 
 Round structure (call stack in SURVEY.md §3.3):
   init   — Prove-mode synthesis, padding, z_A = Az / z_B = Bz sparse SpMV
@@ -13,8 +15,10 @@ Round structure (call stack in SURVEY.md §3.3):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import functools
+from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -66,6 +70,7 @@ class ProverState:
     z_a_poly: LabeledPoly | None = None
     z_b_poly: LabeledPoly | None = None
     mask_poly: LabeledPoly | None = None
+    x_poly: jnp.ndarray | None = None
     verifier_first_msg: object = None
 
     def public_input(self) -> list:
@@ -103,14 +108,45 @@ def prover_init(index: Index, circuit) -> ProverState:
     )
 
 
-def _blind_with_vanishing(p: jnp.ndarray, r_int: int, domain_size: int) -> jnp.ndarray:
-    """p + r * v_D  (the zk blinding at reference prover.rs:352,360,366)."""
-    n = max(p.shape[0], domain_size + 1)
-    out = poly.pad_to(p, n)
-    rv = np.zeros((n,), dtype=object)
-    rv[0] = (-r_int) % R
-    rv[domain_size] = r_int % R
-    return fr.add(out, fr.from_ints(list(rv)))
+# --------------------------------------------------------------------------
+# round 1
+
+
+@functools.partial(jax.jit, static_argnames=("h", "x_size"))
+def _round1_core(x_assign, w_ext, z_a_evals, z_b_evals, blinds, mask_raw, *, h, x_size):
+    """Fused first-round kernel (reference prover.rs:309-409).
+
+    x_assign: [x_size,16]; w_ext: [h-x_size,16] (witness, zero-padded);
+    blinds: [3,16] (w, z_a, z_b vanishing blinds); mask_raw: [3h,16].
+    """
+    ratio = h // x_size
+
+    x_poly = ntt.intt(x_assign)
+    x_evals = ntt.ntt(x_poly, h)
+
+    k = np.arange(h)
+    on_input = k % ratio == 0
+    widx = np.where(on_input, 0, k - k // ratio - 1)
+    gathered = w_ext[jnp.asarray(widx, dtype=jnp.int32)] if h > x_size else fr.zeros((h,))
+    w_evals = fr.select(jnp.asarray(~on_input), fr.sub(gathered, x_evals), fr.zeros((h,)))
+
+    def blind_with_vanishing(p, r):
+        out = poly.pad_to(p, h + 1)
+        out = out.at[0].set(fr.sub(out[0], r))
+        out = out.at[h].set(fr.add(out[h], r))
+        return out
+
+    w_over_h = blind_with_vanishing(ntt.intt(w_evals), blinds[0])
+    w_poly, _rem = poly.divide_by_vanishing(w_over_h, x_size)
+    z_a_poly = blind_with_vanishing(ntt.intt(z_a_evals), blinds[1])
+    z_b_poly = blind_with_vanishing(ntt.intt(z_b_evals), blinds[2])
+
+    # Σ_H mask = 0: subtract Σ_i mask[i*h] from the constant coefficient
+    # (reference prover.rs:369-381; degree 3h + 2zk - 3 with zk = 1)
+    r0 = fr.add(fr.add(mask_raw[0], mask_raw[h]), mask_raw[2 * h])
+    mask = mask_raw.at[0].set(fr.sub(mask_raw[0], r0))
+
+    return w_poly, z_a_poly, z_b_poly, mask, x_poly
 
 
 def prover_first_round(state: ProverState, zk_rng: ZkRng):
@@ -119,182 +155,246 @@ def prover_first_round(state: ProverState, zk_rng: ZkRng):
     x_size = state.domain_x.size
     zk = state.zk_bound
 
-    # x̂: interpolate the formatted input over X, then evaluate on H
-    x_poly = ntt.intt(fr.from_ints(state.formatted_input))
-    x_evals = ntt.ntt(x_poly, h)
+    w_ext_len = max(h - x_size, 1)
+    w_ext = state.witness + [0] * (w_ext_len - len(state.witness))
+    mask_len = 3 * h + 2 * zk - 2  # degree + 1 = 3h for zk = 1
+    mask_raw = fr.from_ints(zk_rng.rand_fr_list(mask_len))
+    blinds = fr.from_ints([zk_rng.rand_fr() for _ in range(3)])
 
-    ratio = h // x_size
-    w_ext_len = h - x_size
-    w_extended = state.witness + [0] * (w_ext_len - len(state.witness))
-
-    k = np.arange(h)
-    mask = k % ratio == 0
-    widx = np.where(mask, 0, k - k // ratio - 1)
-    w_ext_dev = fr.from_ints(w_extended) if w_ext_len else fr.zeros((1,))
-    gathered = w_ext_dev[jnp.asarray(widx, dtype=jnp.int32)]
-    w_evals = fr.select(jnp.asarray(~mask), fr.sub(gathered, x_evals), fr.zeros((h,)))
-
-    w_over_h = _blind_with_vanishing(ntt.intt(w_evals), zk_rng.rand_fr(), h)
-    w_poly, rem = poly.divide_by_vanishing(w_over_h, x_size)
-
-    z_a_poly = _blind_with_vanishing(ntt.intt(state.z_a), zk_rng.rand_fr(), h)
-    z_b_poly = _blind_with_vanishing(ntt.intt(state.z_b), zk_rng.rand_fr(), h)
-
-    # mask polynomial: degree 3|H| + 2 zk - 3, Σ_H mask = 0
-    # (reference prover.rs:369-381)
-    mask_len = 3 * h + 2 * zk - 2  # degree + 1
-    mask_ints = zk_rng.rand_fr_list(mask_len)
-    r_0 = 0
-    for i in range((mask_len - 1) // h + 1):
-        if h * i < mask_len:
-            r_0 += mask_ints[h * i]
-    mask_ints[0] = (mask_ints[0] - r_0) % R
-    mask_dev = fr.from_ints(mask_ints)
+    w_poly, z_a_poly, z_b_poly, mask, x_poly = _round1_core(
+        fr.from_ints(state.formatted_input),
+        fr.from_ints(w_ext),
+        state.z_a,
+        state.z_b,
+        blinds,
+        mask_raw,
+        h=h,
+        x_size=x_size,
+    )
 
     oracles = {
         "w": LabeledPoly("w", w_poly, None, 1),
         "z_a": LabeledPoly("z_a", z_a_poly, None, 1),
         "z_b": LabeledPoly("z_b", z_b_poly, None, 1),
-        "mask_poly": LabeledPoly("mask_poly", mask_dev, None, None),
+        "mask_poly": LabeledPoly("mask_poly", mask, None, None),
     }
     state.w_poly = oracles["w"]
     state.z_a_poly = oracles["z_a"]
     state.z_b_poly = oracles["z_b"]
     state.mask_poly = oracles["mask_poly"]
+    state.x_poly = x_poly
     return oracles, state
 
 
-def _batch_eval_bivariate_diff(domain: Radix2Domain, x_int: int) -> jnp.ndarray:
-    """u_D(x, y) for all y in D: v_D(x) / (x - y) batched
-    (reference src/ahp/mod.rs:311-318)."""
-    elems = ntt.domain_elements(domain.size)
-    x_dev = fr.from_int(x_int)
-    diffs = fr.sub(x_dev[None, :], elems)
+# --------------------------------------------------------------------------
+# round 2
+
+
+def _batch_eval_bivariate_diff_dev(h: int, alpha, vanish_alpha):
+    """u_H(alpha, y) for all y in H (device scalars in, [h,16] out)."""
+    elems = ntt.domain_elements(h)
+    diffs = fr.sub(alpha[None, :], elems)
     invs = fr.inv(diffs)
-    vanish = fr.from_int(domain.evaluate_vanishing_polynomial(x_int))
-    return fr.mul(invs, vanish[None, :])
+    return fr.mul(invs, vanish_alpha[None, :])
 
 
-def _calculate_t(index: Index, etas: list, r_alpha_evals: jnp.ndarray) -> jnp.ndarray:
-    """t(X) = Σ_M η_M M^T r_α interpolated on H (reference prover.rs:411-428)."""
-    h = index.domain_h.size
-    idxs, vals = [], []
-    for m, eta in zip((index.a, index.b, index.c), etas):
-        eta_dev = fr.from_int(eta)
-        v = fr.mul(fr.mul(m.vals, eta_dev[None, :]), r_alpha_evals[m.rows])
-        idxs.append(m.cols_reindexed)
-        vals.append(v)
-    t_evals = sparse.scatter_add_mod(
-        jnp.concatenate(vals, axis=0), jnp.concatenate(idxs), h
+def _batch_eval_bivariate_diff(domain: Radix2Domain, x_int: int) -> jnp.ndarray:
+    """Host-scalar wrapper (reference src/ahp/mod.rs:311-318); used in tests."""
+    return _batch_eval_bivariate_diff_dev(
+        domain.size,
+        fr.from_int(x_int),
+        fr.from_int(domain.evaluate_vanishing_polynomial(x_int)),
     )
-    return ntt.intt(t_evals)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "x_size", "n_mul"))
+def _round2_core(
+    z_a_p,
+    z_b_p,
+    mask,
+    w_poly,
+    x_poly,
+    alpha,
+    vanish_alpha,
+    etas,  # [3,16]
+    mat_rows,
+    mat_cols_reidx,
+    mat_vals,
+    mat_seg,  # [nnz_total] in {0,1,2}: which matrix each entry belongs to
+    *,
+    h,
+    x_size,
+    n_mul,
+):
+    """Fused second-round kernel (reference prover.rs:443-570)."""
+    # summed_z_m = eta_a z_a + eta_b z_b + eta_c (z_a * z_b)
+    z_c = poly.mul(z_a_p, z_b_p)
+    summed_z_m = poly.scale(z_c, etas[2])
+    summed_z_m = poly.add(
+        summed_z_m, poly.add(poly.scale(z_a_p, etas[0]), poly.scale(z_b_p, etas[1]))
+    )
+
+    r_alpha_evals = _batch_eval_bivariate_diff_dev(h, alpha, vanish_alpha)
+    r_alpha_poly = ntt.intt(r_alpha_evals)
+
+    # t = Σ_M eta_M M^T r_alpha (scatter over reindexed columns)
+    vals_scaled = fr.mul(mat_vals, etas[mat_seg])
+    contrib = fr.mul(vals_scaled, r_alpha_evals[mat_rows])
+    t_evals = sparse.scatter_add_mod(contrib, mat_cols_reidx, h)
+    t_poly = ntt.intt(t_evals)
+
+    z_poly = poly.add(poly.mul_by_vanishing(w_poly, x_size), x_poly)
+
+    ra_e = ntt.ntt(r_alpha_poly, n_mul)
+    szm_e = ntt.ntt(summed_z_m, n_mul)
+    z_e = ntt.ntt(z_poly, n_mul)
+    t_e = ntt.ntt(t_poly, n_mul)
+    rhs = ntt.intt(fr.sub(fr.mul(ra_e, szm_e), fr.mul(z_e, t_e)))
+    q_1 = poly.add(mask, rhs)
+
+    h_1, x_g_1 = poly.divide_by_vanishing(q_1, h)
+    g_1 = x_g_1[1:]
+    return t_poly, g_1, h_1
 
 
 def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
     """Reference src/ahp/prover.rs:443-570 -> (oracles dict, state)."""
     h = state.domain_h.size
-    zk = state.zk_bound
-    alpha, eta_a, eta_b, eta_c = ver_msg.alpha, ver_msg.eta_a, ver_msg.eta_b, ver_msg.eta_c
+    x_size = state.domain_x.size
+    ix = state.index
 
-    z_a_p, z_b_p = state.z_a_poly.coeffs, state.z_b_poly.coeffs
-    z_c = poly.mul(z_a_p, z_b_p)
-    summed_z_m = poly.scale(z_c, fr.from_int(eta_c))
-    summed_z_m = poly.add(
-        summed_z_m,
-        poly.add(
-            poly.scale(z_a_p, fr.from_int(eta_a)), poly.scale(z_b_p, fr.from_int(eta_b))
-        ),
-    )
-
-    r_alpha_evals = _batch_eval_bivariate_diff(state.domain_h, alpha)
-    r_alpha_poly = ntt.intt(r_alpha_evals)
-
-    t_poly = _calculate_t(state.index, [eta_a, eta_b, eta_c], r_alpha_evals)
-
-    # z = w * v_X + x̂
-    x_poly = ntt.intt(fr.from_ints(state.formatted_input))
-    z_poly = poly.add(poly.mul_by_vanishing(state.w_poly.coeffs, state.domain_x.size), x_poly)
-
-    mask = state.mask_poly.coeffs
-    mul_size = max(
-        mask.shape[0],
-        r_alpha_poly.shape[0] + summed_z_m.shape[0],
-        t_poly.shape[0] + z_poly.shape[0],
-    )
+    mask_len = state.mask_poly.coeffs.shape[0]
+    za_len = state.z_a_poly.coeffs.shape[0]
+    mul_size = max(mask_len, h + 2 * za_len - 1, 2 * h + x_size + 2)
     n_mul = 1 << (mul_size - 1).bit_length()
-    ra_e = ntt.ntt(r_alpha_poly, n_mul)
-    szm_e = ntt.ntt(summed_z_m, n_mul)
-    z_e = ntt.ntt(z_poly, n_mul)
-    t_e = ntt.ntt(t_poly, n_mul)
-    rhs_evals = fr.sub(fr.mul(ra_e, szm_e), fr.mul(z_e, t_e))
-    rhs = ntt.intt(rhs_evals)
-    q_1 = poly.add(mask, rhs)
 
-    h_1, x_g_1 = poly.divide_by_vanishing(q_1, h)
-    g_1 = x_g_1[1:]
+    mat_rows = jnp.concatenate([ix.a.rows, ix.b.rows, ix.c.rows])
+    mat_cols = jnp.concatenate(
+        [ix.a.cols_reindexed, ix.b.cols_reindexed, ix.c.cols_reindexed]
+    )
+    mat_vals = jnp.concatenate([ix.a.vals, ix.b.vals, ix.c.vals])
+    mat_seg = jnp.concatenate(
+        [
+            jnp.zeros((ix.a.nnz,), jnp.int32),
+            jnp.ones((ix.b.nnz,), jnp.int32),
+            jnp.full((ix.c.nnz,), 2, jnp.int32),
+        ]
+    )
+
+    t_poly, g_1, h_1 = _round2_core(
+        state.z_a_poly.coeffs,
+        state.z_b_poly.coeffs,
+        state.mask_poly.coeffs,
+        state.w_poly.coeffs,
+        state.x_poly,
+        fr.from_int(ver_msg.alpha),
+        fr.from_int(state.domain_h.evaluate_vanishing_polynomial(ver_msg.alpha)),
+        fr.from_ints([ver_msg.eta_a, ver_msg.eta_b, ver_msg.eta_c]),
+        mat_rows,
+        mat_cols,
+        mat_vals,
+        mat_seg,
+        h=h,
+        x_size=x_size,
+        n_mul=n_mul,
+    )
 
     oracles = {
         "t": LabeledPoly("t", t_poly, None, None),
         "g_1": LabeledPoly("g_1", g_1, h - 2, 1),
         "h_1": LabeledPoly("h_1", h_1, None, None),
     }
-    state.w_poly = None
     state.verifier_first_msg = ver_msg
     return oracles, state
 
 
-def prover_third_round(ver_msg, state: ProverState, zk_rng: ZkRng):
-    """Reference src/ahp/prover.rs:588-706 -> oracles dict."""
-    k = state.domain_k.size
-    fm = state.verifier_first_msg
-    alpha, eta_a, eta_b, eta_c = fm.alpha, fm.eta_a, fm.eta_b, fm.eta_c
-    beta = ver_msg.beta
+# --------------------------------------------------------------------------
+# round 3
 
-    v_h_a = state.domain_h.evaluate_vanishing_polynomial(alpha)
-    v_h_b = state.domain_h.evaluate_vanishing_polynomial(beta)
-    vv = v_h_a * v_h_b % R
-    coeff_a = fr.from_int(eta_a * vv % R)
-    coeff_b = fr.from_int(eta_b * vv % R)
-    coeff_c = fr.from_int(eta_c * vv % R)
 
-    ja = state.index.joint_arith
+@functools.partial(jax.jit, static_argnames=("k",))
+def _round3_core(
+    val_a,
+    val_b,
+    val_c,
+    row_k,
+    col_k,
+    row_col_k,
+    val_a_k,
+    val_b_k,
+    val_c_k,
+    coeffs_abc,  # [3,16] eta_M * v_H(alpha) v_H(beta)
+    alpha,
+    beta,
+    alpha_beta,
+    *,
+    k,
+):
+    """Fused third-round kernel (reference prover.rs:588-706)."""
     a_poly = fr.add(
-        fr.add(
-            fr.mul(ja.val_a, coeff_a[None, :]),
-            fr.mul(ja.val_b, coeff_b[None, :]),
-        ),
-        fr.mul(ja.val_c, coeff_c[None, :]),
+        fr.add(fr.mul(val_a, coeffs_abc[0][None, :]), fr.mul(val_b, coeffs_abc[1][None, :])),
+        fr.mul(val_c, coeffs_abc[2][None, :]),
     )
 
-    ev = ja.evals_on_K
-    alpha_dev = fr.from_int(alpha)
-    beta_dev = fr.from_int(beta)
-    ab_dev = fr.from_int(alpha * beta % R)
-    # b on K: αβ - α·row - β·col + row_col
     b_evals = fr.add(
         fr.sub(
-            fr.sub(jnp.broadcast_to(ab_dev, ev.row.shape), fr.mul(ev.row, alpha_dev[None, :])),
-            fr.mul(ev.col, beta_dev[None, :]),
+            fr.sub(
+                jnp.broadcast_to(alpha_beta, row_k.shape), fr.mul(row_k, alpha[None, :])
+            ),
+            fr.mul(col_k, beta[None, :]),
         ),
-        ev.row_col,
+        row_col_k,
     )
     b_poly = ntt.intt(b_evals)
 
     denom = fr.mul(
-        fr.sub(jnp.broadcast_to(beta_dev, ev.row.shape), ev.row),
-        fr.sub(jnp.broadcast_to(alpha_dev, ev.col.shape), ev.col),
+        fr.sub(jnp.broadcast_to(beta, row_k.shape), row_k),
+        fr.sub(jnp.broadcast_to(alpha, col_k.shape), col_k),
     )
     inverses = fr.inv(denom)
     vals_combined = fr.add(
-        fr.add(fr.mul(ev.val_a, coeff_a[None, :]), fr.mul(ev.val_b, coeff_b[None, :])),
-        fr.mul(ev.val_c, coeff_c[None, :]),
+        fr.add(
+            fr.mul(val_a_k, coeffs_abc[0][None, :]), fr.mul(val_b_k, coeffs_abc[1][None, :])
+        ),
+        fr.mul(val_c_k, coeffs_abc[2][None, :]),
     )
     f_evals = fr.mul(inverses, vals_combined)
     f = ntt.intt(f_evals)
     g_2 = f[1:]
 
     bf = poly.mul(b_poly, f)
-    h_2, _rem = poly.divide_by_vanishing(poly.sub(a_poly, bf), k)
+    h_2, _ = poly.divide_by_vanishing(poly.sub(a_poly, bf), k)
+    return g_2, h_2
+
+
+def prover_third_round(ver_msg, state: ProverState, zk_rng: ZkRng):
+    """Reference src/ahp/prover.rs:588-706 -> oracles dict."""
+    k = state.domain_k.size
+    fm = state.verifier_first_msg
+    alpha, beta = fm.alpha, ver_msg.beta
+
+    v_h_a = state.domain_h.evaluate_vanishing_polynomial(alpha)
+    v_h_b = state.domain_h.evaluate_vanishing_polynomial(beta)
+    vv = v_h_a * v_h_b % R
+
+    ja = state.index.joint_arith
+    ev = ja.evals_on_K
+    g_2, h_2 = _round3_core(
+        ja.val_a,
+        ja.val_b,
+        ja.val_c,
+        ev.row,
+        ev.col,
+        ev.row_col,
+        ev.val_a,
+        ev.val_b,
+        ev.val_c,
+        fr.from_ints([fm.eta_a * vv % R, fm.eta_b * vv % R, fm.eta_c * vv % R]),
+        fr.from_int(alpha),
+        fr.from_int(beta),
+        fr.from_int(alpha * beta % R),
+        k=k,
+    )
 
     return {
         "g_2": LabeledPoly("g_2", g_2, k - 2, None),
