@@ -59,6 +59,9 @@ class UniversalParams:
     # host-side prefix of the gamma powers: blinding polynomials are tiny
     # (degree hiding_bound+1 = 2), so their MSMs run on the host
     host_gamma_powers: list = None
+    # setup trapdoor, retained so the Sonic variant's trim can derive
+    # negative G2 powers on demand (snark/sonic.py); never serialized
+    tau: int | None = None
 
     def max_degree(self) -> int:
         return self.powers_of_g[0].shape[0] - 1
@@ -148,6 +151,7 @@ def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
         h=h,
         beta_h=beta_h,
         host_gamma_powers=host_gamma,
+        tau=tau,
     )
 
 

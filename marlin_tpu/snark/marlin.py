@@ -13,6 +13,7 @@ from ..fields import bls12_381 as P
 from ..utils import profiling
 from ..utils.rand import ZkRng
 from . import ahp, kzg, lc as lc_mod, prover as prover_mod, verifier as verifier_mod
+from . import sonic as _sonic_mod
 from .data_structures import (
     IndexProverKey,
     IndexVerifierKey,
@@ -50,25 +51,33 @@ def _prefetch_evaluations(provider, polys, plan) -> None:
 
 
 class Marlin:
-    """Marlin<Fr, MarlinKZG10, SimpleHashFiatShamirRng<Blake2s, ChaCha>>."""
+    """Marlin<Fr, MarlinKZG10, SimpleHashFiatShamirRng<Blake2s, ChaCha>>.
+
+    The polynomial-commitment scheme is pluggable via the `PC` class
+    attribute (mirroring the reference's `Marlin<F, PC, FS>` generics,
+    src/lib.rs:64): `Marlin` uses the Marlin KZG10 variant, `MarlinSonic`
+    the Sonic variant benchmarked by the reference (benches/bench.rs:13).
+    """
+
+    PC = kzg
 
     # ---- setup -------------------------------------------------------------
 
-    @staticmethod
+    @classmethod
     def universal_setup(
-        num_constraints: int, num_variables: int, num_non_zero: int, rng: ZkRng
+        cls, num_constraints: int, num_variables: int, num_non_zero: int, rng: ZkRng
     ) -> kzg.UniversalParams:
         """Reference src/lib.rs:79-96."""
         max_degree = ahp.max_degree(num_constraints, num_variables, num_non_zero)
         with profiling.span(
             f"Marlin::UniversalSetup with max_degree {max_degree}"
         ):
-            return kzg.setup(max_degree, rng)
+            return cls.PC.setup(max_degree, rng)
 
     # ---- index -------------------------------------------------------------
 
-    @staticmethod
-    def index(srs: kzg.UniversalParams, circuit):
+    @classmethod
+    def index(cls, srs: kzg.UniversalParams, circuit):
         """Reference src/lib.rs:100-148."""
         with profiling.span("Marlin::Index"):
             index = index_circuit(circuit)
@@ -77,7 +86,7 @@ class Marlin:
 
             coeff_support = ahp.get_degree_bounds(index.index_info)
             supported_hiding_bound = 1  # reference src/lib.rs:114
-            ck, vk = kzg.trim(
+            ck, vk = cls.PC.trim(
                 srs, index.max_degree(), supported_hiding_bound, coeff_support
             )
 
@@ -86,7 +95,7 @@ class Marlin:
                     LabeledPoly(label, coeffs, bound, None)
                     for label, coeffs, bound in index.iter_polys()
                 ]
-                index_comms, index_rands = kzg.commit(ck, labeled, None)
+                index_comms, index_rands = cls.PC.commit(ck, labeled, None)
 
             index_vk = IndexVerifierKey(
                 index_info=index.index_info, index_comms=index_comms, verifier_key=vk
@@ -101,8 +110,8 @@ class Marlin:
 
     # ---- prove -------------------------------------------------------------
 
-    @staticmethod
-    def prove(index_pk: IndexProverKey, circuit, zk_rng: ZkRng) -> Proof:
+    @classmethod
+    def prove(cls, index_pk: IndexProverKey, circuit, zk_rng: ZkRng) -> Proof:
         """Reference src/lib.rs:151-311."""
         with profiling.span("Marlin::Prover"):
             state = prover_mod.prover_init(index_pk.index, circuit)
@@ -121,7 +130,7 @@ class Marlin:
                 first_oracles, state = prover_mod.prover_first_round(state, zk_rng)
             with profiling.span("Committing to first round polys"):
                 first_list = [first_oracles[l] for l in ["w", "z_a", "z_b", "mask_poly"]]
-                first_comms, first_rands = kzg.commit(ck, first_list, zk_rng)
+                first_comms, first_rands = cls.PC.commit(ck, first_list, zk_rng)
             fs.absorb(b"".join(commitment_to_bytes(c) for c in first_comms))
             ver_first, ver_state = verifier_mod.verifier_first_round(
                 index_pk.index_vk.index_info, fs
@@ -134,7 +143,7 @@ class Marlin:
                 )
             with profiling.span("Committing to second round polys"):
                 second_list = [second_oracles[l] for l in ["t", "g_1", "h_1"]]
-                second_comms, second_rands = kzg.commit(ck, second_list, zk_rng)
+                second_comms, second_rands = cls.PC.commit(ck, second_list, zk_rng)
             fs.absorb(b"".join(commitment_to_bytes(c) for c in second_comms))
             ver_second, ver_state = verifier_mod.verifier_second_round(ver_state, fs)
 
@@ -143,7 +152,7 @@ class Marlin:
                 third_oracles = prover_mod.prover_third_round(ver_second, state, zk_rng)
             with profiling.span("Committing to third round polys"):
                 third_list = [third_oracles[l] for l in ["g_2", "h_2"]]
-                third_comms, third_rands = kzg.commit(ck, third_list, zk_rng)
+                third_comms, third_rands = cls.PC.commit(ck, third_list, zk_rng)
             fs.absorb(b"".join(commitment_to_bytes(c) for c in third_comms))
             ver_state = verifier_mod.verifier_third_round(ver_state, fs)
 
@@ -200,7 +209,7 @@ class Marlin:
             fs.absorb(field_vec_to_bytes(eval_values))
             opening_challenge = fs.rand_u128() % R  # reference src/lib.rs:290
 
-            pc_proof = kzg.open_combinations(
+            pc_proof = cls.PC.open_combinations(
                 ck, lc_s, polys, rands, query_set, opening_challenge
             )
 
@@ -213,9 +222,9 @@ class Marlin:
 
     # ---- verify ------------------------------------------------------------
 
-    @staticmethod
+    @classmethod
     def verify(
-        index_vk: IndexVerifierKey, public_input: list, proof: Proof, rng: ZkRng
+        cls, index_vk: IndexVerifierKey, public_input: list, proof: Proof, rng: ZkRng
     ) -> bool:
         """Reference src/lib.rs:315-433."""
         with profiling.span("Marlin::Verify"):
@@ -283,7 +292,7 @@ class Marlin:
             except lc_mod.LcError:
                 return False
 
-            return kzg.check_combinations(
+            return cls.PC.check_combinations(
                 index_vk.verifier_key,
                 lc_s,
                 labeled_comms,
@@ -293,3 +302,9 @@ class Marlin:
                 opening_challenge,
                 rng,
             )
+
+
+class MarlinSonic(Marlin):
+    """Marlin over the Sonic-style PC (reference benches/bench.rs:79-84)."""
+
+    PC = _sonic_mod
