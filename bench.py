@@ -38,7 +38,12 @@ def main():
     b = rng.rand_fr()
     circ = DummyCircuit(a, b, num_variables=10, num_constraints=num_constraints)
 
-    srs = Marlin.universal_setup(num_constraints, num_constraints, 3 * num_constraints, rng)
+    # SRS sizing follows universal_setup(n, n, 3n) (benches/bench.rs:83);
+    # the powers-of-tau artifact is cached on disk across runs.
+    from marlin_tpu.snark import ahp, serial
+
+    max_degree = ahp.max_degree(num_constraints, num_constraints, 3 * num_constraints)
+    srs = serial.cached_srs(max_degree, rng)
     pk, vk = Marlin.index(srs, circ)
 
     # warmup: compile every kernel shape

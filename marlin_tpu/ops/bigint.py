@@ -24,6 +24,7 @@ Design notes
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -34,6 +35,22 @@ from .limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
 
 _U32 = jnp.uint32
 _MASK = jnp.uint32(LIMB_MASK)
+
+
+def _unroll_carries() -> bool:
+    """Pick the carry-propagation style for the current backend.
+
+    The TPU toolchain compiles deep `lax.scan` nests orders of magnitude
+    slower than straight-line vector code (measured: 477 s vs 3 s for the
+    same scalar-mul ladder) and pays per-iteration overhead at runtime, so
+    on TPU every carry chain is unrolled.  XLA:CPU prefers the compact scan
+    form.  Both compute identical functions; override with
+    MARLIN_TPU_CARRY=scan|unroll.
+    """
+    mode = os.environ.get("MARLIN_TPU_CARRY", "auto")
+    if mode != "auto":
+        return mode == "unroll"
+    return jax.default_backend() != "cpu"
 
 
 @dataclass(frozen=True)
@@ -101,6 +118,15 @@ def normalize(t: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
         pad = [(0, 0)] * (t.ndim - 1) + [(0, out_len - t.shape[-1])]
         t = jnp.pad(t, pad)
 
+    if _unroll_carries():
+        carry = jnp.zeros(t.shape[:-1], _U32)
+        outs = []
+        for i in range(t.shape[-1]):
+            s = t[..., i] + carry
+            outs.append(s & _MASK)
+            carry = s >> LIMB_BITS
+        return jnp.stack(outs, axis=-1)
+
     def step(carry, limb):
         s = limb + carry
         return s >> LIMB_BITS, s & _MASK
@@ -127,6 +153,15 @@ def mul_wide(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def _usub(a: jnp.ndarray, b: jnp.ndarray):
     """a - b over normalized limbs; returns (diff_limbs, borrow in {0,1})."""
+    b = jnp.broadcast_to(b, a.shape)
+    if _unroll_carries():
+        borrow = jnp.zeros(a.shape[:-1], jnp.int32)
+        outs = []
+        for i in range(a.shape[-1]):
+            s = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
+            borrow = (s < 0).astype(jnp.int32)
+            outs.append((s + (borrow << LIMB_BITS)).astype(_U32))
+        return jnp.stack(outs, axis=-1), borrow
 
     def step(borrow, ab):
         ai, bi = ab
@@ -135,7 +170,7 @@ def _usub(a: jnp.ndarray, b: jnp.ndarray):
         return new_borrow, (s + (new_borrow << LIMB_BITS)).astype(_U32)
 
     a_s = jnp.moveaxis(a, -1, 0)
-    b_s = jnp.moveaxis(jnp.broadcast_to(b, a.shape), -1, 0)
+    b_s = jnp.moveaxis(b, -1, 0)
     borrow, limbs = jax.lax.scan(step, jnp.zeros(a.shape[:-1], jnp.int32), (a_s, b_s))
     return jnp.moveaxis(limbs, 0, -1), borrow
 
@@ -182,12 +217,29 @@ def mont_reduce(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
 def _finalize_cios(ctx: ModCtx, acc: jnp.ndarray) -> jnp.ndarray:
     """Fused carry-propagate + conditional-subtract-N over redundant limbs.
 
-    acc: [.., L+1] redundant (value < 2N).  One scan computes both the
+    acc: [.., L+1] redundant (value < 2N).  One pass computes both the
     normalized limbs and the borrow chain of (value - N); a final select
     picks the reduced representative.
     """
     L = ctx.L
-    n_ext = jnp.pad(jnp.asarray(ctx.n_limbs), (0, 1))
+    n_ext = np.concatenate([ctx.n_limbs, np.zeros(1, np.uint32)])
+
+    if _unroll_carries():
+        carry = jnp.zeros(acc.shape[:-1], _U32)
+        borrow = jnp.zeros(acc.shape[:-1], jnp.int32)
+        limbs_l, diffs_l = [], []
+        for i in range(L + 1):
+            s = acc[..., i] + carry
+            limb = s & _MASK
+            carry = s >> LIMB_BITS
+            d = limb.astype(jnp.int32) - int(n_ext[i]) - borrow
+            borrow = (d < 0).astype(jnp.int32)
+            limbs_l.append(limb)
+            diffs_l.append((d + (borrow << LIMB_BITS)).astype(_U32))
+        limbs = jnp.stack(limbs_l, axis=-1)
+        diffs = jnp.stack(diffs_l, axis=-1)
+        keep = (borrow != 0)[..., None]
+        return jnp.where(keep, limbs, diffs)[..., :L]
 
     def step(state, inp):
         carry, borrow = state
@@ -200,7 +252,7 @@ def _finalize_cios(ctx: ModCtx, acc: jnp.ndarray) -> jnp.ndarray:
 
     init = (jnp.zeros(acc.shape[:-1], _U32), jnp.zeros(acc.shape[:-1], jnp.int32))
     n_b = jnp.broadcast_to(
-        n_ext.reshape((L + 1,) + (1,) * (acc.ndim - 1)), (L + 1, *acc.shape[:-1])
+        jnp.asarray(n_ext).reshape((L + 1,) + (1,) * (acc.ndim - 1)), (L + 1, *acc.shape[:-1])
     )
     xs = (jnp.moveaxis(acc, -1, 0), n_b)
     (carry, borrow), (limbs, diffs) = jax.lax.scan(step, init, xs)
@@ -244,6 +296,12 @@ def mont_mul(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return acc, None
 
     acc0 = jnp.zeros((*shape, L + 1), dtype=_U32)
+    if _unroll_carries():
+        # same body, Python-unrolled: straight-line tensor-slice ops
+        acc = acc0
+        for i in range(L):
+            acc, _ = step(acc, a[..., i])
+        return _finalize_cios(ctx, acc)
     acc, _ = jax.lax.scan(step, acc0, jnp.moveaxis(a, -1, 0))
     return _finalize_cios(ctx, acc)
 

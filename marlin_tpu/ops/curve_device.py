@@ -71,45 +71,58 @@ def negate(p: Point) -> Point:
     return (p[0], fq.neg(p[1]), p[2])
 
 
+def _bmul(pairs):
+    """One stacked mont_mul for several independent products.
+
+    Collapsing a group-law layer's muls into a single wider kernel keeps the
+    compiled graph small (TPU compile time scales badly with the number of
+    mont_mul instances) and gives the VPU wider lanes.
+    """
+    a = jnp.stack([x for x, _ in pairs])
+    b = jnp.stack([y for _, y in pairs])
+    out = fq.mul(a, b)
+    return [out[i] for i in range(len(pairs))]
+
+
 def double(p: Point) -> Point:
     """Jacobian doubling, a = 0 (dbl-2009-l).  Y=0 or Z=0 -> Z3=0 (identity)."""
     X, Y, Z = p
-    A = fq.sqr(X)
-    B = fq.sqr(Y)
-    C = fq.sqr(B)
-    t = fq.sqr(fq.add(X, B))
-    D = fq.add(fq.sub(fq.sub(t, A), C), fq.sub(fq.sub(t, A), C))  # 2*((X+B)^2 - A - C)
+    A, B, YZ = _bmul([(X, X), (Y, Y), (Y, Z)])
+    C, t = _bmul([(B, B), (fq.add(X, B), fq.add(X, B))])
+    tAC = fq.sub(fq.sub(t, A), C)
+    D = fq.add(tAC, tAC)  # 2*((X+B)^2 - A - C)
     E = fq.add(fq.add(A, A), A)
-    F = fq.sqr(E)
+    F, = _bmul([(E, E)])
     X3 = fq.sub(F, fq.add(D, D))
-    C8 = fq.add(fq.add(fq.add(C, C), fq.add(C, C)), fq.add(fq.add(C, C), fq.add(C, C)))
-    Y3 = fq.sub(fq.mul(E, fq.sub(D, X3)), C8)
-    Z3 = fq.mul(fq.add(Y, Y), Z)
+    C4 = fq.add(fq.add(C, C), fq.add(C, C))
+    C8 = fq.add(C4, C4)
+    EDX, = _bmul([(E, fq.sub(D, X3))])
+    Y3 = fq.sub(EDX, C8)
+    Z3 = fq.add(YZ, YZ)
     return (X3, Y3, Z3)
 
 
 def add(p: Point, q: Point) -> Point:
-    """Complete branchless Jacobian addition (add-2007-bl + selects)."""
+    """Complete branchless Jacobian addition (add-2007-bl + selects),
+    structured as layers of stacked muls."""
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    Z1Z1 = fq.sqr(Z1)
-    Z2Z2 = fq.sqr(Z2)
-    U1 = fq.mul(X1, Z2Z2)
-    U2 = fq.mul(X2, Z1Z1)
-    S1 = fq.mul(fq.mul(Y1, Z2), Z2Z2)
-    S2 = fq.mul(fq.mul(Y2, Z1), Z1Z1)
+    Z1Z1, Z2Z2 = _bmul([(Z1, Z1), (Z2, Z2)])
+    U1, U2, A1, A2 = _bmul([(X1, Z2Z2), (X2, Z1Z1), (Y1, Z2), (Y2, Z1)])
+    zsum = fq.add(Z1, Z2)
+    S1, S2, ZZ = _bmul([(A1, Z2Z2), (A2, Z1Z1), (zsum, zsum)])
     H = fq.sub(U2, U1)
-    r = fq.add(fq.sub(S2, S1), fq.sub(S2, S1))  # 2*(S2-S1)
-    I = fq.sqr(fq.add(H, H))
-    J = fq.mul(H, I)
-    V = fq.mul(U1, I)
-    X3 = fq.sub(fq.sub(fq.sqr(r), J), fq.add(V, V))
-    S1J = fq.mul(S1, J)
-    Y3 = fq.sub(fq.mul(r, fq.sub(V, X3)), fq.add(S1J, S1J))
-    Z3 = fq.mul(fq.mul(Z1, Z2), fq.add(H, H))
+    HH = fq.add(H, H)
+    S2S1 = fq.sub(S2, S1)
+    r = fq.add(S2S1, S2S1)
+    I, rsq, Z3 = _bmul([(HH, HH), (r, r), (fq.sub(fq.sub(ZZ, Z1Z1), Z2Z2), H)])
+    J, V = _bmul([(H, I), (U1, I)])
+    X3 = fq.sub(fq.sub(rsq, J), fq.add(V, V))
+    S1J, rVX = _bmul([(S1, J), (r, fq.sub(V, X3))])
+    Y3 = fq.sub(rVX, fq.add(S1J, S1J))
 
     h_zero = fq.is_zero(H)
-    r_zero = fq.is_zero(fq.sub(S2, S1))
+    r_zero = fq.is_zero(S2S1)
     p_inf = fq.is_zero(Z1)
     q_inf = fq.is_zero(Z2)
 

@@ -137,7 +137,11 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
 
     all_digits = [_digits_np(scal, c, w) for w in range(num_windows)]
     max_count = max(int(np.bincount(d, minlength=nb).max()) for d in all_digits)
-    cap = 1 << max(0, (max_count - 1)).bit_length()
+    # data-independent default capacity (4x the mean bucket load) so kernel
+    # shapes — hence compiled programs — are stable across scalar sets;
+    # pathological skew falls back to a larger (recompiling) capacity
+    default_cap = 1 << max(0, (4 * max(1, n // nb) - 1)).bit_length()
+    cap = max(default_cap, 1 << max(0, (max_count - 1)).bit_length())
 
     windows = []
     for d in all_digits:
