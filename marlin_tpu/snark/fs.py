@@ -19,9 +19,11 @@ import hashlib
 import struct
 
 from ..fields import bls12_381 as P
+from . import native
 
 R = P.R_MODULUS
 _FR_MONT_R_INV = pow(P.FR_MONT_R, -1, R)
+_NATIVE = native.available()
 
 
 def _rotl32(v: int, c: int) -> int:
@@ -65,13 +67,18 @@ class ChaCha20Rng:
 
     def __init__(self, seed: bytes):
         assert len(seed) == 32
+        self._seed_bytes = seed
         self.key = struct.unpack("<8I", seed)
         self.counter = 0
         self.buf: list[int] = []
 
     def next_u32(self) -> int:
         if not self.buf:
-            self.buf = _chacha_block(self.key, self.counter)
+            if _NATIVE:
+                raw = native.chacha20_block(self._seed_bytes, self.counter)
+                self.buf = list(struct.unpack("<16I", raw))
+            else:
+                self.buf = _chacha_block(self.key, self.counter)
             self.counter += 1
         return self.buf.pop(0)
 
@@ -85,11 +92,17 @@ class FiatShamirRng:
     """SimpleHashFiatShamirRng<Blake2s, ChaChaRng> (reference src/rng.rs:18-80)."""
 
     def __init__(self, initial_input: bytes):
-        self.seed = hashlib.blake2s(initial_input).digest()
+        if _NATIVE:
+            self.seed = native.blake2s256(initial_input)
+        else:
+            self.seed = hashlib.blake2s(initial_input).digest()
         self.rng = ChaCha20Rng(self.seed)
 
     def absorb(self, new_input: bytes) -> None:
-        self.seed = hashlib.blake2s(new_input + self.seed).digest()
+        if _NATIVE:
+            self.seed = native.fs_absorb(new_input, self.seed)
+        else:
+            self.seed = hashlib.blake2s(new_input + self.seed).digest()
         self.rng = ChaCha20Rng(self.seed)
 
     # --- sampling -----------------------------------------------------------
