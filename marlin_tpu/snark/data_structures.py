@@ -96,6 +96,66 @@ class Proof:
                 out += b"\x01" + hf.fr_to_bytes(pp.random_v)
         return out
 
+    @staticmethod
+    def from_bytes(data: bytes) -> "Proof":
+        """Inverse of to_bytes (proof interchange / checkpoint)."""
+        from .kzg import BatchLCProof, Commitment, PointProof
+
+        off = 0
+
+        def u64():
+            nonlocal off
+            v = int.from_bytes(data[off : off + 8], "little")
+            off += 8
+            return v
+
+        def point():
+            nonlocal off
+            p = hc.g1_decompress(data[off : off + P.FQ_BYTES])
+            off += P.FQ_BYTES
+            return p
+
+        def fr():
+            nonlocal off
+            v = hf.fr_from_bytes(data[off : off + P.FR_BYTES])
+            off += P.FR_BYTES
+            return v
+
+        commitments = []
+        for _ in range(u64()):
+            row = []
+            for _ in range(u64()):
+                comm = point()
+                shifted = None
+                flag = data[off]
+                off += 1
+                if flag:
+                    shifted = point()
+                row.append(Commitment(comm=comm, shifted_comm=shifted))
+            commitments.append(row)
+        evaluations = [fr() for _ in range(u64())]
+        prover_messages = []
+        for _ in range(u64()):
+            flag = data[off]
+            off += 1
+            if flag:
+                prover_messages.append([fr() for _ in range(u64())])
+            else:
+                prover_messages.append([])
+        proofs = []
+        for _ in range(u64()):
+            w = point()
+            flag = data[off]
+            off += 1
+            rv = fr() if flag else None
+            proofs.append(PointProof(w=w, random_v=rv))
+        return Proof(
+            commitments=commitments,
+            evaluations=evaluations,
+            prover_messages=prover_messages,
+            pc_proof=BatchLCProof(proofs=proofs),
+        )
+
     def print_size_info(self) -> dict:
         """Proof-size statistics (reference data_structures.rs:129-187)."""
         num_plain = sum(
