@@ -155,6 +155,67 @@ def _jac_to_affine(p):
     return (p[0] * zinv2 % Q, p[1] * zinv2 * zinv % Q)
 
 
+def g1_fixed_base_powers(base, scalars, window: int = 8):
+    """[s*base for s in scalars] via a shared windowed table (host).
+
+    One-time SRS-style generation: W = ceil(255/c) table rows of 2^c
+    multiples each; every scalar mul is then W-1 Jacobian adds.  Returns
+    affine points (single batch inversion at the end).
+    """
+    c = window
+    num_windows = -(-255 // c)
+    base_j = _jac_from_affine(base)
+    # table[w][d] = d * 2^(cw) * base
+    table = []
+    row_base = base_j
+    for _ in range(num_windows):
+        row = [(0, 1, 0)] * (1 << c)
+        for d in range(1, 1 << c):
+            row[d] = _jac_add(row[d - 1], row_base)
+        table.append(row)
+        for _ in range(c):
+            row_base = _jac_double(row_base)
+    mask = (1 << c) - 1
+    out = []
+    for s in scalars:
+        s %= P.R_MODULUS
+        acc = (0, 1, 0)
+        w = 0
+        while s:
+            d = s & mask
+            if d:
+                acc = _jac_add(acc, table[w][d])
+            s >>= c
+            w += 1
+        out.append(acc)
+    # batched affine conversion: one field inversion for the whole batch
+    zs = [p[2] for p in out]
+    nonzero = [z for z in zs if z != 0]
+    # prefix-product inversion
+    prefix = []
+    acc = 1
+    for z in nonzero:
+        acc = acc * z % Q
+        prefix.append(acc)
+    inv_all = pow(acc, -1, Q) if nonzero else 1
+    invs = [0] * len(nonzero)
+    for i in range(len(nonzero) - 1, -1, -1):
+        before = prefix[i - 1] if i > 0 else 1
+        invs[i] = inv_all * before % Q
+        inv_all = inv_all * nonzero[i] % Q
+    result = []
+    k = 0
+    for p in out:
+        if p[2] == 0:
+            result.append(None)
+            continue
+        zi = invs[k]
+        k += 1
+        zi2 = zi * zi % Q
+        result.append((p[0] * zi2 % Q, p[1] * zi2 * zi % Q))
+    return result
+
+
 def g1_msm(points, scalars, window: int = 8):
     """Host Pippenger MSM with Jacobian buckets.
 

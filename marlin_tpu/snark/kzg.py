@@ -127,8 +127,12 @@ class BatchLCProof:
 
 
 def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
-    """Powers-of-τ generation — a batched fixed-base scalar-mul on device
-    (the trusted-setup artifact; reference PC::setup at src/lib.rs:93)."""
+    """Powers-of-τ generation (the trusted-setup artifact; reference
+    PC::setup at src/lib.rs:93).
+
+    Runs host-side with a shared windowed fixed-base table — a one-time,
+    platform-independent artifact (cached to disk by serial.cached_srs), so
+    it is kept off the accelerator compile path entirely."""
     tau = rng.rand_fr()
     gamma = rng.rand_fr()
     taus = [1] * (max_degree + 1)
@@ -136,13 +140,15 @@ def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
         taus[i] = taus[i - 1] * tau % R
     gammas = [gamma * t % R for t in taus] + [gamma * taus[-1] * tau % R]
 
-    powers_g = cd.normalize_batch(msm.fixed_base_powers(hc.G1_GEN, taus))
-    powers_gamma = cd.normalize_batch(msm.fixed_base_powers(hc.G1_GEN, gammas))
+    g_affine = hc.g1_fixed_base_powers(hc.G1_GEN, taus)
+    gamma_affine = hc.g1_fixed_base_powers(hc.G1_GEN, gammas)
+    powers_g = cd.from_affine_ints(g_affine)
+    powers_gamma = cd.from_affine_ints(gamma_affine)
 
     h = hc.G2_GEN
     beta_h = hc.g2_mul(h, tau)
     n_prefix = min(8, max_degree + 2)
-    host_gamma = cd.to_affine_ints(cd.gather(powers_gamma, jnp.arange(n_prefix)))
+    host_gamma = gamma_affine[:n_prefix]
     return UniversalParams(
         powers_of_g=powers_g,
         powers_of_gamma_g=powers_gamma,
