@@ -20,8 +20,10 @@ import jax  # noqa: E402
 try:  # drop the axon PJRT factory so it is never initialized in tests
     from jax._src import xla_bridge as _xb
 
+    # keep the stock 'tpu' factory registered (pallas lowering registration
+    # expects the platform to exist); only the tunnel plugin is dropped
     for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name not in ("cpu", "interpreter"):
+        if _name not in ("cpu", "interpreter", "tpu"):
             _xb._backend_factories.pop(_name, None)
 except Exception:  # pragma: no cover
     pass
