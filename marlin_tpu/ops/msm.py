@@ -49,10 +49,13 @@ def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
     log_n = max((n - 1).bit_length(), 1)
     idx = jnp.arange(n)
 
+    extra_dims = pts[0].ndim - 2  # broadcast the mask over trailing batch axes
+
     def body(k, p):
         off = jnp.int32(1) << k
         src = idx + off if reverse else idx - off
         valid = (src < n) if reverse else (src >= 0)
+        valid = valid.reshape((n,) + (1,) * extra_dims)
         src = jnp.clip(src, 0, n - 1)
         shifted = cd.gather(p, src)
         combined = cd.add(p, shifted)
@@ -74,17 +77,12 @@ def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> c
     g = cd.gather(points, src)
     ident = cd.identity((layout.shape[0],))
     mat = cd.select_point(filled, g, ident)
-    mat = tuple(m.reshape(nb, cap, -1) for m in mat)
-
-    # reduce bucket rows: halve the column axis log2(cap) times
-    w = cap
-    while w > 1:
-        half = w // 2
-        left = tuple(m[:, :half] for m in mat)
-        right = tuple(m[:, half : 2 * half] for m in mat)
-        mat = cd.add(left, right)
-        w = half
-    buckets = tuple(m[:, 0] for m in mat)  # [nb]
+    # [cap, nb]: bucket rows become columns; one reverse scan along axis 0
+    # reduces every bucket simultaneously with a single point-add instance
+    # (compile size, not FLOPs, is the binding constraint for these graphs)
+    mat = tuple(m.reshape(nb, cap, -1).swapaxes(0, 1) for m in mat)
+    scanned = _hillis_scan_add(mat, reverse=True)
+    buckets = tuple(m[0] for m in scanned)  # [nb]
 
     # zero out bucket 0 (digit 0 contributes nothing)
     first = jnp.arange(nb) == 0

@@ -86,3 +86,13 @@ def test_msm_default_window():
     dev_pts = cd.from_affine_ints(pts)
     got = cd.to_affine_ints(msm.msm(dev_pts, fr.from_ints(scalars)))[0]
     assert got == hc.g1_msm(pts, scalars)
+
+
+def test_msm_pippenger_direct():
+    n = 64
+    pts = _rand_points(n)
+    scalars = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    scalars[0] = 0
+    dev_pts = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(msm.msm_pippenger(dev_pts, fr.from_ints(scalars), c=6))[0]
+    assert got == hc.g1_msm(pts, scalars)
