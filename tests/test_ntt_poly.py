@@ -114,3 +114,29 @@ def test_reindex_by_subdomain():
     be, se = big.elements(), small.elements()
     for i in range(4):
         assert be[mapped[i]] == se[i]
+
+
+def test_lagrange_coefficients():
+    # verifier-side x(beta) interpolation (reference src/ahp/mod.rs:154-159)
+    dom = Radix2Domain(8)
+    tau = rng.randrange(R)
+    lags = dom.evaluate_all_lagrange_coefficients(tau)
+    # Σ L_i(tau) * p(g^i) == p(tau) for a random poly of deg < 8
+    p = _rand(8)
+    interp = sum(l * _host_eval(p, e) for l, e in zip(lags, dom.elements())) % R
+    assert interp == _host_eval(p, tau)
+    # tau inside the domain: indicator
+    lags2 = dom.evaluate_all_lagrange_coefficients(dom.element(3))
+    assert lags2[3] == 1 and sum(lags2) == 1
+
+
+def test_vanishing_divisibility():
+    # v_K / v_H is a polynomial when H ⊆ K (reference test_alternator_polynomial)
+    big, small = Radix2Domain(16), Radix2Domain(8)
+    # v_K(x) = x^16 - 1 = (x^8-1)(x^8+1): check evaluations
+    for _ in range(4):
+        x = rng.randrange(R)
+        vk_val = big.evaluate_vanishing_polynomial(x)
+        vh_val = small.evaluate_vanishing_polynomial(x)
+        q = (pow(x, 8, R) + 1) % R
+        assert vk_val == vh_val * q % R
