@@ -34,7 +34,7 @@ import numpy as np
 from ..fields import bls12_381 as P
 from . import bigint as bi
 from . import curve_device as cd
-from . import fq, fr
+from . import fr
 
 FR_BITS = 255
 

@@ -36,7 +36,6 @@ from . import kzg
 from .kzg import (
     BatchLCProof,
     Commitment,
-    LabeledCommitment,
     PCError,
     PointProof,
     Randomness,
@@ -47,7 +46,7 @@ from .kzg import (
     _host_poly_eval,
     _rand_blind,
 )
-from .lc import ONE_TERM, LinearCombination
+from .lc import ONE_TERM
 
 R = P.R_MODULUS
 
@@ -203,8 +202,7 @@ def open_combinations(
             w = poly.div_by_linear(v["coeffs"], z_dev)
             scaled = poly.scale(w, fr.from_int(chi))
             w_poly_acc = scaled if w_poly_acc is None else poly.add(w_poly_acc, scaled)
-            shift = 0 if v["degree_bound"] is None else d - v["degree_bound"]
-            del shift  # witnesses (incl. gamma) are unshifted; see module doc
+            # witnesses (incl. gamma) are unshifted; see module doc
             if v["blind"] is not None:
                 any_hiding = True
                 random_v = (random_v + chi * _host_poly_eval(v["blind"], z)) % R
