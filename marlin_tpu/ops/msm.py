@@ -77,12 +77,18 @@ def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> c
     g = cd.gather(points, src)
     ident = cd.identity((layout.shape[0],))
     mat = cd.select_point(filled, g, ident)
-    # [cap, nb]: bucket rows become columns; one reverse scan along axis 0
-    # reduces every bucket simultaneously with a single point-add instance
-    # (compile size, not FLOPs, is the binding constraint for these graphs)
-    mat = tuple(m.reshape(nb, cap, -1).swapaxes(0, 1) for m in mat)
-    scanned = _hillis_scan_add(mat, reverse=True)
-    buckets = tuple(m[0] for m in scanned)  # [nb]
+    # fold the bucket-matrix columns with a fori loop: one point-add
+    # instance in the compiled graph (compile size is the binding
+    # constraint) at work-optimal nb*cap adds
+    mat = tuple(m.reshape(nb, cap, -1) for m in mat)
+
+    def fold(j, acc):
+        col = tuple(
+            jax.lax.dynamic_slice_in_dim(mat[i], j, 1, axis=1)[:, 0] for i in range(3)
+        )
+        return cd.add(acc, col)
+
+    buckets = jax.lax.fori_loop(1, cap, fold, tuple(m[:, 0] for m in mat))
 
     # zero out bucket 0 (digit 0 contributes nothing)
     first = jnp.arange(nb) == 0
@@ -128,7 +134,10 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
     """Windowed-bucket MSM; see module docstring."""
     n = points[0].shape[0]
     if c is None:
-        c = max(4, min(13, n.bit_length() - 4))
+        # coarse buckets: every MSM in a proving run shares one or two
+        # compiled window-kernel shapes (TPU compile time dominates the
+        # marginal work of a slightly-off window width)
+        c = 11 if n < (1 << 17) else 13
     scal = np.asarray(bi.from_mont(fr.CTX, scalars_mont))
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
