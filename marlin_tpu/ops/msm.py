@@ -130,6 +130,39 @@ def _digits_np(scal: np.ndarray, c: int, w: int) -> np.ndarray:
     return (word >> np.uint32(o)) & np.uint32((1 << c) - 1)
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def _masked_digit_sum(points: cd.Point, _n: int, mask: jnp.ndarray) -> cd.Point:
+    sel = cd.select_point(mask, points, cd.identity((points[0].shape[0],)))
+    return cd.tree_reduce_add(sel)
+
+
+def _skewed_window(points: cd.Point, digits: np.ndarray):
+    """Window with few distinct digit values (e.g. the 2-bit top window, or
+    repeated-scalar inputs): one masked tree reduction per value, combined
+    on the host (tiny)."""
+    from ..fields import host_curve as hc
+
+    n = points[0].shape[0]
+    values = [int(v) for v in np.unique(digits) if v != 0]
+    acc = (0, 1, 0)
+    for v in values:
+        s_dev = _masked_digit_sum(points, n, jnp.asarray(digits == v))
+        aff = cd.to_affine_ints(s_dev)[0]
+        if aff is None:
+            continue
+        part = hc._jac_from_affine(aff)
+        # acc += v * part (host double-and-add; v < 2^c)
+        vv = v
+        base = part
+        while vv:
+            if vv & 1:
+                acc = hc._jac_add(acc, base)
+            base = hc._jac_double(base)
+            vv >>= 1
+    aff = hc._jac_to_affine(acc)
+    return cd.from_affine_ints([aff])
+
+
 def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
     """Windowed-bucket MSM; see module docstring."""
     n = points[0].shape[0]
@@ -142,25 +175,36 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
 
-    all_digits = [_digits_np(scal, c, w) for w in range(num_windows)]
-    max_count = max(int(np.bincount(d, minlength=nb).max()) for d in all_digits)
-    # data-independent default capacity (4x the mean bucket load) so kernel
-    # shapes — hence compiled programs — are stable across scalar sets;
-    # pathological skew falls back to a larger (recompiling) capacity
-    default_cap = 1 << max(0, (4 * max(1, n // nb) - 1)).bit_length()
-    cap = max(default_cap, 1 << max(0, (max_count - 1)).bit_length())
+    # data-independent capacity (8x the mean bucket load, floor 8) so kernel
+    # shapes — hence compiled programs — are stable across scalar sets.
+    # Windows whose nonzero buckets overflow it (the narrow top window,
+    # adversarial repeated scalars) take the masked-reduction path or, with
+    # many distinct overflowing digits, a one-off larger capacity.
+    cap = 1 << max(3, (8 * max(1, n // nb) - 1).bit_length())
 
     windows = []
-    for d in all_digits:
+    for w in range(num_windows):
+        d = _digits_np(scal, c, w)
+        nz = d != 0
+        counts = np.bincount(d[nz], minlength=nb)
+        max_count = int(counts.max()) if counts.size else 0
+        if max_count > cap:
+            if len(np.unique(d[nz])) <= 64:
+                windows.append(_skewed_window(points, d))
+                continue
+            cap_w = 1 << (max_count - 1).bit_length()
+        else:
+            cap_w = cap
         order = np.argsort(d, kind="stable")
         d_sorted = d[order]
-        counts = np.bincount(d_sorted, minlength=nb)
+        keep = d_sorted != 0
+        order, d_sorted = order[keep], d_sorted[keep]
         starts = np.zeros(nb, dtype=np.int64)
-        starts[1:] = np.cumsum(counts)[:-1]
-        col = np.arange(n) - starts[d_sorted]
-        layout = np.full(nb * cap, -1, dtype=np.int32)
-        layout[d_sorted * cap + col] = order
-        windows.append(_window_kernel(points, jnp.asarray(layout), c, int(cap)))
+        starts[1:] = np.cumsum(np.bincount(d_sorted, minlength=nb))[:-1]
+        col = np.arange(len(d_sorted)) - starts[d_sorted]
+        layout = np.full(nb * cap_w, -1, dtype=np.int32)
+        layout[d_sorted * cap_w + col] = order
+        windows.append(_window_kernel(points, jnp.asarray(layout), c, int(cap_w)))
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
     return _combine_windows(stacked, c)
 

@@ -96,3 +96,14 @@ def test_msm_pippenger_direct():
     dev_pts = cd.from_affine_ints(pts)
     got = cd.to_affine_ints(msm.msm_pippenger(dev_pts, fr.from_ints(scalars), c=6))[0]
     assert got == hc.g1_msm(pts, scalars)
+
+
+def test_msm_pippenger_skewed_digits():
+    # repeated scalars overflow every bucket -> masked-reduction fallback
+    n = 64
+    pts = _rand_points(n)
+    s = rng.randrange(P.R_MODULUS)
+    scalars = [s] * n
+    dev_pts = cd.from_affine_ints(pts)
+    got = cd.to_affine_ints(msm.msm_pippenger(dev_pts, fr.from_ints(scalars), c=4))[0]
+    assert got == hc.g1_msm(pts, scalars)
