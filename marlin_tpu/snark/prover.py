@@ -42,6 +42,25 @@ class ProvingError(Exception):
     pass
 
 
+def _round_jit(**jit_kwargs):
+    """Whole-round fusion is backend-adaptive.
+
+    On CPU the fused round graph compiles quickly and removes dispatch
+    overhead.  The TPU remote compiler OOMs on multi-NTT fused graphs
+    (~3.4 MB of MLIR at 2^14), so there the round functions run as eager
+    compositions of the individually-jitted primitives (NTT, field ops,
+    scatters) — each a small cached kernel; the extra dispatches cost
+    ~25 ms each through the tunnel, negligible against the round's work.
+    """
+
+    def deco(fn):
+        if jax.default_backend() == "cpu":
+            return functools.partial(jax.jit, **jit_kwargs)(fn)
+        return fn
+
+    return deco
+
+
 @dataclass
 class LabeledPoly:
     """Coefficient-form oracle with PC metadata (ark-poly-commit's
@@ -112,7 +131,7 @@ def prover_init(index: Index, circuit) -> ProverState:
 # round 1
 
 
-@functools.partial(jax.jit, static_argnames=("h", "x_size"))
+@_round_jit(static_argnames=("h", "x_size"))
 def _round1_core(x_assign, w_ext, z_a_evals, z_b_evals, blinds, mask_raw, *, h, x_size):
     """Fused first-round kernel (reference prover.rs:309-409).
 
@@ -207,7 +226,7 @@ def _batch_eval_bivariate_diff(domain: Radix2Domain, x_int: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("h", "x_size", "n_mul"))
+@_round_jit(static_argnames=("h", "x_size", "n_mul"))
 def _round2_core(
     z_a_p,
     z_b_p,
@@ -312,7 +331,7 @@ def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
 # round 3
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@_round_jit(static_argnames=("k",))
 def _round3_core(
     val_a,
     val_b,
