@@ -12,8 +12,11 @@ multi-chip path).  This must happen before any backend initialization:
 import os
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-# Separate compile cache for the CPU test configuration.
-os.environ.setdefault("MARLIN_TPU_XLA_CACHE", os.path.expanduser("~/.cache/marlin_tpu_xla_cpu"))
+# Dedicated compile cache for pytest runs: CPU AOT executables embed host
+# feature flags that differ between plugin-loaded and plugin-free processes,
+# and loading a mismatched entry can segfault — never share this dir with
+# manually-launched runs.
+os.environ["MARLIN_TPU_XLA_CACHE"] = os.path.expanduser("~/.cache/marlin_tpu_xla_pytest")
 
 import jax  # noqa: E402
 
