@@ -213,12 +213,17 @@ class Marlin:
                 ck, lc_s, polys, rands, query_set, opening_challenge
             )
 
-            return Proof(
+            proof = Proof(
                 commitments=[first_comms, second_comms, third_comms],
                 evaluations=eval_values,
                 prover_messages=[[], [], []],
                 pc_proof=pc_proof,
             )
+            if profiling.is_enabled():
+                # reference prints proof-size statistics under print-trace
+                # (src/lib.rs:308, data_structures.rs:129-187)
+                print(proof.print_size_info(), flush=True)
+            return proof
 
     # ---- verify ------------------------------------------------------------
 

@@ -45,3 +45,7 @@ def span(name: str):
         _depth -= 1
         _records.append({"name": name, "seconds": elapsed, "depth": _depth})
         print(f"{'··' * _depth}End: {name} {elapsed * 1e3:.3f}ms", flush=True)
+
+
+def is_enabled() -> bool:
+    return _enabled
