@@ -64,12 +64,14 @@ def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
     return jax.lax.fori_loop(0, log_n, body, pts)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> cd.Point:
-    """One Pippenger window: T_w = Σ_b b * S_b.
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, cap: int) -> cd.Point:
+    """All Pippenger windows at once: [n_win] partial sums T_w = Σ_b b*S_b.
 
-    layout: [2^c * cap] int32 — index into `points` for each bucket-matrix
-    slot, or -1 for an empty slot (filled with the identity).
+    layout: [n_win * 2^c * cap] int32 — index into `points` for each
+    bucket-matrix slot, or -1 for an empty slot (filled with the identity).
+    Batching every window into one kernel keeps the VPU lanes full (each
+    fold step adds ~n_win*2^c points) and cuts dispatches from ~25/MSM to 3.
     """
     nb = 1 << c
     filled = layout >= 0
@@ -79,8 +81,8 @@ def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> c
     mat = cd.select_point(filled, g, ident)
     # fold the bucket-matrix columns with a fori loop: one point-add
     # instance in the compiled graph (compile size is the binding
-    # constraint) at work-optimal nb*cap adds
-    mat = tuple(m.reshape(nb, cap, -1) for m in mat)
+    # constraint) at work-optimal n_win*nb*cap adds
+    mat = tuple(m.reshape(n_win * nb, cap, -1) for m in mat)
 
     def fold(j, acc):
         col = tuple(
@@ -89,16 +91,18 @@ def _window_kernel(points: cd.Point, layout: jnp.ndarray, c: int, cap: int) -> c
         return cd.add(acc, col)
 
     buckets = jax.lax.fori_loop(1, cap, fold, tuple(m[:, 0] for m in mat))
+    # [nb, n_win]: bucket index leads so the Hillis scans run along axis 0
+    buckets = tuple(b.reshape(n_win, nb, -1).swapaxes(0, 1) for b in buckets)
 
     # zero out bucket 0 (digit 0 contributes nothing)
-    first = jnp.arange(nb) == 0
-    buckets = cd.select_point(first, cd.identity((nb,)), buckets)
+    first = (jnp.arange(nb) == 0)[:, None]
+    buckets = cd.select_point(first, cd.identity((nb, n_win)), buckets)
 
-    # Σ_b b*S_b = Σ_{j>=1} suffix_j ; two Hillis scans
+    # Σ_b b*S_b = Σ_{j>=1} suffix_j ; two Hillis scans, batched over windows
     suffix = _hillis_scan_add(buckets, reverse=True)  # S'_j = Σ_{b>=j} S_b
-    suffix = cd.select_point(first, cd.identity((nb,)), suffix)  # drop j=0 term
+    suffix = cd.select_point(first, cd.identity((nb, n_win)), suffix)
     totals = _hillis_scan_add(suffix, reverse=False)
-    return tuple(t[-1:] for t in totals)
+    return tuple(t[-1] for t in totals)  # [n_win]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -167,34 +171,29 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
     """Windowed-bucket MSM; see module docstring."""
     n = points[0].shape[0]
     if c is None:
-        # coarse buckets: every MSM in a proving run shares one or two
-        # compiled window-kernel shapes (TPU compile time dominates the
-        # marginal work of a slightly-off window width)
-        c = 11 if n < (1 << 17) else 13
+        # keep the mean bucket load around 32-64 so a 2x capacity bound
+        # holds with overwhelming probability, bounding layout padding
+        c = min(13, max(6, n.bit_length() - 6))
     scal = np.asarray(bi.from_mont(fr.CTX, scalars_mont))
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
 
-    # data-independent capacity (8x the mean bucket load, floor 8) so kernel
-    # shapes — hence compiled programs — are stable across scalar sets.
-    # Windows whose nonzero buckets overflow it (the narrow top window,
-    # adversarial repeated scalars) take the masked-reduction path or, with
-    # many distinct overflowing digits, a one-off larger capacity.
-    cap = 1 << max(3, (8 * max(1, n // nb) - 1).bit_length())
+    # data-independent capacity (2x the mean bucket load) so kernel shapes —
+    # hence compiled programs — are stable across scalar sets.  Windows whose
+    # nonzero buckets overflow it (the narrow top window, adversarial
+    # repeated scalars) take the masked-reduction path instead.
+    cap = 1 << max(3, (2 * max(1, n // nb) - 1).bit_length())
 
-    windows = []
+    batch_slots = []  # (stack position, layout) for normal windows
+    skewed = {}  # stack position -> device point
     for w in range(num_windows):
         d = _digits_np(scal, c, w)
         nz = d != 0
         counts = np.bincount(d[nz], minlength=nb)
         max_count = int(counts.max()) if counts.size else 0
         if max_count > cap:
-            if len(np.unique(d[nz])) <= 64:
-                windows.append(_skewed_window(points, d))
-                continue
-            cap_w = 1 << (max_count - 1).bit_length()
-        else:
-            cap_w = cap
+            skewed[w] = _skewed_window(points, d)
+            continue
         order = np.argsort(d, kind="stable")
         d_sorted = d[order]
         keep = d_sorted != 0
@@ -202,9 +201,20 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
         starts = np.zeros(nb, dtype=np.int64)
         starts[1:] = np.cumsum(np.bincount(d_sorted, minlength=nb))[:-1]
         col = np.arange(len(d_sorted)) - starts[d_sorted]
-        layout = np.full(nb * cap_w, -1, dtype=np.int32)
-        layout[d_sorted * cap_w + col] = order
-        windows.append(_window_kernel(points, jnp.asarray(layout), c, int(cap_w)))
+        layout = np.full(nb * cap, -1, dtype=np.int32)
+        layout[d_sorted * cap + col] = order
+        batch_slots.append((w, layout))
+
+    if batch_slots:
+        big_layout = np.concatenate([l for _, l in batch_slots])
+        batched = _windows_kernel(
+            points, jnp.asarray(big_layout), len(batch_slots), c, int(cap)
+        )
+    windows = [None] * num_windows
+    for j, (w, _) in enumerate(batch_slots):
+        windows[w] = tuple(b[j : j + 1] for b in batched)
+    for w, pt in skewed.items():
+        windows[w] = pt
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
     return _combine_windows(stacked, c)
 
