@@ -23,11 +23,12 @@ import jax as _jax
 # (Fermat inversion alone is a 255-step fori_loop) and recompiling them per
 # process would dominate test time.
 _cache_dir = _os.environ.get("MARLIN_TPU_XLA_CACHE", _os.path.expanduser("~/.cache/marlin_tpu_xla"))
-try:
-    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-except Exception:  # pragma: no cover - older jax
-    pass
+if _cache_dir:  # empty string disables (CPU executable (de)serialization can crash)
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    except Exception:  # pragma: no cover - older jax
+        pass
 
 try:
     from .snark.marlin import Marlin  # noqa: E402,F401

@@ -12,11 +12,10 @@ multi-chip path).  This must happen before any backend initialization:
 import os
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-# Dedicated compile cache for pytest runs: CPU AOT executables embed host
-# feature flags that differ between plugin-loaded and plugin-free processes,
-# and loading a mismatched entry can segfault — never share this dir with
-# manually-launched runs.
-os.environ["MARLIN_TPU_XLA_CACHE"] = os.path.expanduser("~/.cache/marlin_tpu_xla_pytest")
+# No persistent compile cache under pytest: CPU executable (de)serialization
+# segfaults intermittently in this jaxlib (both reading mixed-feature entries
+# and writing certain executables).  Tests recompile per session.
+os.environ["MARLIN_TPU_XLA_CACHE"] = ""
 
 import jax  # noqa: E402
 
