@@ -119,11 +119,10 @@ def normalize(t: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
         t = jnp.pad(t, pad)
 
     if _unroll_carries():
-        t_t = jnp.moveaxis(t, -1, 0)  # limb-major: batch on the lane axis
         carry = jnp.zeros(t.shape[:-1], _U32)
         outs = []
         for i in range(t.shape[-1]):
-            s = t_t[i] + carry
+            s = t[..., i] + carry
             outs.append(s & _MASK)
             carry = s >> LIMB_BITS
         return jnp.stack(outs, axis=-1)
@@ -156,12 +155,10 @@ def _usub(a: jnp.ndarray, b: jnp.ndarray):
     """a - b over normalized limbs; returns (diff_limbs, borrow in {0,1})."""
     b = jnp.broadcast_to(b, a.shape)
     if _unroll_carries():
-        a_t = jnp.moveaxis(a, -1, 0)
-        b_t = jnp.moveaxis(b, -1, 0)
         borrow = jnp.zeros(a.shape[:-1], jnp.int32)
         outs = []
         for i in range(a.shape[-1]):
-            s = a_t[i].astype(jnp.int32) - b_t[i].astype(jnp.int32) - borrow
+            s = a[..., i].astype(jnp.int32) - b[..., i].astype(jnp.int32) - borrow
             borrow = (s < 0).astype(jnp.int32)
             outs.append((s + (borrow << LIMB_BITS)).astype(_U32))
         return jnp.stack(outs, axis=-1), borrow
@@ -215,29 +212,6 @@ def mont_reduce(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
     u = u.at[..., : 2 * L].add(t)
     u = normalize(u)  # exact; low L limbs are zero
     return cond_sub_modulus(ctx, u[..., L:])
-
-
-def _finalize_cios_limbmajor(ctx: ModCtx, acc: list) -> jnp.ndarray:
-    """Carry-propagate + conditional-subtract over a limb-major accumulator
-    (list of L+1 [batch] arrays); returns limb-minor [batch, L]."""
-    L = ctx.L
-    n_ext = np.concatenate([ctx.n_limbs, np.zeros(1, np.uint32)])
-    shape = acc[0].shape
-    carry = jnp.zeros(shape, _U32)
-    borrow = jnp.zeros(shape, jnp.int32)
-    limbs_l, diffs_l = [], []
-    for i in range(L + 1):
-        s = acc[i] + carry
-        limb = s & _MASK
-        carry = s >> LIMB_BITS
-        d = limb.astype(jnp.int32) - int(n_ext[i]) - borrow
-        borrow = (d < 0).astype(jnp.int32)
-        limbs_l.append(limb)
-        diffs_l.append((d + (borrow << LIMB_BITS)).astype(_U32))
-    limbs = jnp.stack(limbs_l[:L], axis=-1)
-    diffs = jnp.stack(diffs_l[:L], axis=-1)
-    keep = (borrow != 0)[..., None]
-    return jnp.where(keep, limbs, diffs)
 
 
 def _finalize_cios(ctx: ModCtx, acc: jnp.ndarray) -> jnp.ndarray:
@@ -323,31 +297,11 @@ def mont_mul(ctx: ModCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     acc0 = jnp.zeros((*shape, L + 1), dtype=_U32)
     if _unroll_carries():
-        # Limb-major compute: with limbs moved to the leading axis every
-        # vector op is [batch]-wide, so the batch rides the 128-lane axis
-        # (limb-minor layout leaves 16/128 lanes busy — measured 8x slower).
-        a_t = jnp.moveaxis(a, -1, 0)  # [L, ...]
-        b_t = jnp.moveaxis(b, -1, 0)
-        n_t = jnp.asarray(ctx.n_limbs).reshape((L,) + (1,) * len(shape))
-        acc = [jnp.zeros(shape, _U32) for _ in range(L + 1)]
+        # same body, Python-unrolled: straight-line tensor-slice ops
+        acc = acc0
         for i in range(L):
-            p = a_t[i][None] * b_t  # [L, ...] full 32-bit products
-            plo = p & _MASK
-            phi = p >> LIMB_BITS
-            for j in range(L):
-                acc[j] = acc[j] + plo[j]
-                acc[j + 1] = acc[j + 1] + phi[j]
-            m = (acc[0] * np0) & _MASK
-            mn = m[None] * n_t
-            mlo = mn & _MASK
-            mhi = mn >> LIMB_BITS
-            for j in range(L):
-                acc[j] = acc[j] + mlo[j]
-                acc[j + 1] = acc[j + 1] + mhi[j]
-            carry0 = acc[0] >> LIMB_BITS
-            acc = acc[1:] + [jnp.zeros(shape, _U32)]
-            acc[0] = acc[0] + carry0
-        return _finalize_cios_limbmajor(ctx, acc)
+            acc, _ = step(acc, a[..., i])
+        return _finalize_cios(ctx, acc)
     acc, _ = jax.lax.scan(step, acc0, jnp.moveaxis(a, -1, 0))
     return _finalize_cios(ctx, acc)
 
