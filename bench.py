@@ -25,7 +25,7 @@ BASELINE_NS_PER_CONSTRAINT = 25_000.0
 
 def main():
     num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << 14))
-    reps = int(os.environ.get("MARLIN_BENCH_REPS", 3))
+    reps = int(os.environ.get("MARLIN_BENCH_REPS", 1))
 
     from circuits import DummyCircuit
 
