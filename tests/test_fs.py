@@ -19,7 +19,9 @@ def test_chacha_block_djb_zero_key():
 
 def test_native_matches_python():
     if not native.available():
-        return  # pure-python fallback already exercised everywhere
+        import pytest
+
+        pytest.skip("native host library unavailable")
     for data in [b"", b"abc", b"x" * 63, b"y" * 64, b"z" * 65, b"w" * 1000]:
         assert native.blake2s256(data) == hashlib.blake2s(data).digest()
     seed = hashlib.blake2s(b"seed").digest()
