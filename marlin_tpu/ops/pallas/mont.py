@@ -74,7 +74,7 @@ def mont_mul_pallas(a: jnp.ndarray, b: jnp.ndarray, interpret: bool = False) -> 
     from jax.experimental import pallas as pl
 
     n = a.shape[0]
-    tile = min(512, n)
+    tile = min(64, n)
     assert n % tile == 0, "pallas path expects tile-aligned batches"
     n_const = tuple(int(x) for x in int_to_limbs(P.R_MODULUS, L))
     np0 = pow(-P.R_MODULUS, -1, 1 << 256) & LIMB_MASK
