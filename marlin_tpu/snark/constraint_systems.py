@@ -128,15 +128,31 @@ def _reindex_np(idx: np.ndarray, big: Radix2Domain, small: Radix2Domain) -> np.n
     return np.where(idx < small.size, idx * period, i + i // (period - 1) + 1)
 
 
-def _coo_lookup(mat: list, keys_r: np.ndarray, keys_c: np.ndarray, num_cols: int) -> np.ndarray:
-    """Values of sparse `mat` at positions (keys_r, keys_c); 0 where absent."""
-    entries = {}
+def _coo_lookup(mat: list, keys_r: np.ndarray, keys_c: np.ndarray, num_cols: int) -> list:
+    """Values of sparse `mat` at positions (keys_r, keys_c); 0 where absent.
+
+    Vectorized with sorted-key binary search — the per-entry dict version
+    dominated index wall time at 2^16+ (SURVEY.md §3.2's O(|K|) loop).
+    """
+    mat_keys = []
+    mat_vals = []
     for r, row in enumerate(mat):
         for coeff, i in row:
-            entries[(r, i)] = coeff
-    return np.asarray(
-        [entries.get((int(r), int(c)), 0) for r, c in zip(keys_r, keys_c)], dtype=object
-    )
+            mat_keys.append(r * num_cols + i)
+            mat_vals.append(coeff)
+    if not mat_keys:
+        return [0] * len(keys_r)
+    mk = np.asarray(mat_keys, dtype=np.int64)
+    order = np.argsort(mk, kind="stable")
+    mk = mk[order]
+    query = keys_r.astype(np.int64) * num_cols + keys_c.astype(np.int64)
+    pos = np.searchsorted(mk, query)
+    pos_c = np.minimum(pos, len(mk) - 1)
+    hit = mk[pos_c] == query
+    out = [0] * len(query)
+    for j in np.nonzero(hit)[0]:
+        out[j] = mat_vals[order[pos_c[j]]]
+    return out
 
 
 def arithmetize_matrix(
