@@ -205,14 +205,22 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
         layout[d_sorted * cap + col] = order
         batch_slots.append((w, layout))
 
-    if batch_slots:
-        big_layout = np.concatenate([l for _, l in batch_slots])
-        batched = _windows_kernel(
-            points, jnp.asarray(big_layout), len(batch_slots), c, int(cap)
-        )
     windows = [None] * num_windows
-    for j, (w, _) in enumerate(batch_slots):
-        windows[w] = tuple(b[j : j + 1] for b in batched)
+    if batch_slots:
+        # bound the gathered bucket-matrix footprint: beyond ~2M slots the
+        # [slots, 24] Fq gather (x3 coordinates plus copies) presses the
+        # 16 GB HBM, so large-n MSMs process windows in groups
+        max_slots = 1 << 21
+        per_window = nb * cap
+        group = max(1, min(len(batch_slots), max_slots // per_window))
+        for start in range(0, len(batch_slots), group):
+            chunk = batch_slots[start : start + group]
+            big_layout = np.concatenate([l for _, l in chunk])
+            batched = _windows_kernel(
+                points, jnp.asarray(big_layout), len(chunk), c, int(cap)
+            )
+            for j, (w, _) in enumerate(chunk):
+                windows[w] = tuple(b[j : j + 1] for b in batched)
     for w, pt in skewed.items():
         windows[w] = pt
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
