@@ -9,6 +9,7 @@ for the verifier at src/lib.rs:407).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..fields import bls12_381 as P
@@ -132,6 +133,10 @@ def construct_linear_combinations(public_input, evals, state) -> list[LinearComb
         ],
     )
 
+    if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
+        # debug-mode self-check (reference debug_assert at src/ahp/mod.rs:177)
+        assert evals.get_lc_eval(outer, beta) == 0, "outer sumcheck LC is nonzero"
+
     lcs.extend([z_b, g_1, t, outer])
 
     # --- inner sumcheck -----------------------------------------------------
@@ -158,6 +163,10 @@ def construct_linear_combinations(public_input, evals, state) -> list[LinearComb
     inner_terms += [((-c) % R, t_) for c, t_ in b.terms]
     inner_terms += [((-v_k_at_gamma) % R, "h_2")]
     inner = LinearCombination("inner_sumcheck", inner_terms)
+
+    if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
+        # debug-mode self-check (reference debug_assert at src/ahp/mod.rs:214)
+        assert evals.get_lc_eval(inner, gamma) == 0, "inner sumcheck LC is nonzero"
 
     lcs.extend([g_2, inner])
     lcs.sort(key=lambda l: l.label)
