@@ -21,14 +21,42 @@ from .limbs import int_to_limbs, ints_to_limbs, limbs_to_ints
 CTX = bi.ModCtx("fr", P.R_MODULUS, 16)
 L = CTX.L
 
-# Jitted at module level: callers may use these eagerly (cached per shape) or
-# inside larger jitted programs (inlined).
-add = jax.jit(lambda a, b: bi.add_mod(CTX, a, b))
-sub = jax.jit(lambda a, b: bi.sub_mod(CTX, a, b))
-neg = jax.jit(lambda a: bi.neg_mod(CTX, a))
-mul = jax.jit(lambda a, b: bi.mont_mul(CTX, a, b))
-sqr = jax.jit(lambda a: bi.mont_sqr(CTX, a))
-inv = jax.jit(lambda a: bi.inv_mod(CTX, a))
+# XLA-path jits (CPU production path; TPU fallback via MARLIN_TPU_PALLAS=0).
+_add_xla = jax.jit(lambda a, b: bi.add_mod(CTX, a, b))
+_sub_xla = jax.jit(lambda a, b: bi.sub_mod(CTX, a, b))
+_mul_xla = jax.jit(lambda a, b: bi.mont_mul(CTX, a, b))
+_inv_xla = jax.jit(lambda a: bi.inv_mod(CTX, a))
+
+# On TPU the hot elementwise ops route through the fused limb-major Pallas
+# kernels (ops/pallas/field.py) — one dispatch each, full lane occupancy;
+# inside a larger jit the layout transposes between adjacent ops cancel.
+from .pallas import routing as _routing  # noqa: E402
+
+
+def add(a, b):
+    return _routing.binop("add", CTX, a, b) if _routing.use_pallas() else _add_xla(a, b)
+
+
+def sub(a, b):
+    return _routing.binop("sub", CTX, a, b) if _routing.use_pallas() else _sub_xla(a, b)
+
+
+def mul(a, b):
+    return _routing.binop("mul", CTX, a, b) if _routing.use_pallas() else _mul_xla(a, b)
+
+
+def sqr(a):
+    return mul(a, a)
+
+
+def inv(a):
+    return _routing.inv(CTX, a) if _routing.use_pallas() else _inv_xla(a)
+
+
+def neg(a):
+    return sub(jnp.zeros_like(a), a)
+
+
 is_zero = jax.jit(lambda a: bi.is_zero(CTX, a))
 eq = jax.jit(lambda a, b: bi.eq(CTX, a, b))
 select = jax.jit(lambda c, a, b: bi.select(c, a, b))
