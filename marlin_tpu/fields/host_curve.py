@@ -161,7 +161,15 @@ def g1_fixed_base_powers(base, scalars, window: int = 8):
     One-time SRS-style generation: W = ceil(255/c) table rows of 2^c
     multiples each; every scalar mul is then W-1 Jacobian adds.  Returns
     affine points (single batch inversion at the end).
+
+    Production path is the native C library (csrc/marlin_curve.c, the
+    ark-ec fixed-base analog); this Python body is its golden reference
+    and the fallback when no C toolchain exists.
     """
+    from . import native_curve as nc
+
+    if nc.available():
+        return nc.g1_fixed_base_powers(base, [s % P.R_MODULUS for s in scalars])
     c = window
     num_windows = -(-255 // c)
     base_j = _jac_from_affine(base)
@@ -220,8 +228,13 @@ def g1_msm(points, scalars, window: int = 8):
     """Host Pippenger MSM with Jacobian buckets.
 
     The host fallback for small commitment batches; the production path is
-    ops/msm.py on device.
+    ops/msm.py on device.  Routes through the native C library when built.
     """
+    from . import native_curve as nc
+
+    if nc.available():
+        clean = [(p, s) for p, s in zip(points, scalars)]
+        return nc.g1_msm([p for p, _ in clean], [s for _, s in clean])
     pairs = [
         (_jac_from_affine(p), s % P.R_MODULUS)
         for p, s in zip(points, scalars)
@@ -266,6 +279,19 @@ def g2_neg(p):
 
 def g2_mul(p, k: int):
     return _scalar_mul(FQ2_OPS, p, k)
+
+
+def g2_fixed_base_powers(base, scalars):
+    """[s*base] over G2 (native C fast path; per-scalar ladder fallback).
+
+    Feeds the Sonic SRS's negative powers of tau in G2 (ark sonic_pc
+    setup emits these so the trapdoor never outlives the ceremony).
+    """
+    from . import native_curve as nc
+
+    if nc.available():
+        return nc.g2_fixed_base_powers(base, [s % P.R_MODULUS for s in scalars])
+    return [g2_mul(base, s) for s in scalars]
 
 
 def g2_is_on_curve(p) -> bool:

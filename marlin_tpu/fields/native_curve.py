@@ -1,0 +1,158 @@
+"""ctypes bindings for the native curve runtime (csrc/marlin_curve.c).
+
+The reference's SRS generation and small MSMs run through ark-ec's native
+Rust fixed-base/variable-base routines (SURVEY.md §2b row 2); this is the
+C equivalent for the host-side group work: powers-of-tau generation (G1 and
+G2 — the latter feeds the trapdoor-free Sonic verifier key), small G1 MSMs,
+and single scalar muls.  host_curve.py falls back to pure Python when the
+library is unavailable.
+
+ABI: canonical little-endian u64 limbs — Fq is 6 limbs, G1 affine 12, G2
+affine 24 (x.c0, x.c1, y.c0, y.c1), scalars 4 limbs; identity via a
+separate uint8 flag array.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+    "marlin_curve.c",
+)
+_BUILD_DIR = os.path.join(os.path.dirname(_SRC), "build")
+_SO = os.path.join(_BUILD_DIR, "libmarlin_curve.so")
+
+_U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            subprocess.run(
+                ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(_SO)
+        for name, argtypes in (
+            ("marlin_g1_fixed_powers", [_U64P, _U64P, ctypes.c_size_t, _U64P, _U8P]),
+            ("marlin_g2_fixed_powers", [_U64P, _U64P, ctypes.c_size_t, _U64P, _U8P]),
+            ("marlin_g1_msm", [_U64P, _U8P, _U64P, ctypes.c_size_t, _U64P, _U8P]),
+            ("marlin_g1_mul", [_U64P, _U64P, _U64P, _U8P]),
+            ("marlin_g2_mul", [_U64P, _U64P, _U64P, _U8P]),
+        ):
+            fn = getattr(lib, name)
+            fn.argtypes = argtypes
+            fn.restype = None
+        _LIB = lib
+    except Exception:  # pragma: no cover - missing toolchain
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _int_to_limbs(x: int, n: int) -> list:
+    return [(x >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(n)]
+
+
+def _limbs_to_int(a) -> int:
+    out = 0
+    for i, v in enumerate(a):
+        out |= int(v) << (64 * i)
+    return out
+
+
+def _scalars_arr(scalars: list) -> np.ndarray:
+    from . import bls12_381 as P
+
+    arr = np.zeros((len(scalars), 4), dtype=np.uint64)
+    for i, s in enumerate(scalars):
+        arr[i] = _int_to_limbs(s % P.R_MODULUS, 4)
+    return arr
+
+
+def _g1_affine_arr(points: list) -> tuple[np.ndarray, np.ndarray]:
+    arr = np.zeros((len(points), 12), dtype=np.uint64)
+    inf = np.zeros(len(points), dtype=np.uint8)
+    for i, p in enumerate(points):
+        if p is None:
+            inf[i] = 1
+        else:
+            arr[i, :6] = _int_to_limbs(p[0], 6)
+            arr[i, 6:] = _int_to_limbs(p[1], 6)
+    return arr, inf
+
+
+def _g1_out_to_list(out: np.ndarray, inf: np.ndarray) -> list:
+    return [
+        None if inf[i] else (_limbs_to_int(out[i, :6]), _limbs_to_int(out[i, 6:]))
+        for i in range(out.shape[0])
+    ]
+
+
+def g1_fixed_base_powers(base: tuple, scalars: list) -> list:
+    """[s*base] for canonical-int scalars -> affine (x, y) int tuples."""
+    lib = _load()
+    base_arr = np.asarray(
+        _int_to_limbs(base[0], 6) + _int_to_limbs(base[1], 6), dtype=np.uint64
+    )
+    sc = _scalars_arr(scalars)
+    out = np.zeros((len(scalars), 12), dtype=np.uint64)
+    inf = np.zeros(len(scalars), dtype=np.uint8)
+    lib.marlin_g1_fixed_powers(base_arr, sc, len(scalars), out, inf)
+    return _g1_out_to_list(out, inf)
+
+
+def g2_fixed_base_powers(base: tuple, scalars: list) -> list:
+    """[s*base] for a G2 affine base ((x0,x1),(y0,y1)) -> same structure."""
+    lib = _load()
+    (x0, x1), (y0, y1) = base
+    base_arr = np.asarray(
+        _int_to_limbs(x0, 6) + _int_to_limbs(x1, 6) + _int_to_limbs(y0, 6) + _int_to_limbs(y1, 6),
+        dtype=np.uint64,
+    )
+    sc = _scalars_arr(scalars)
+    out = np.zeros((len(scalars), 24), dtype=np.uint64)
+    inf = np.zeros(len(scalars), dtype=np.uint8)
+    lib.marlin_g2_fixed_powers(base_arr, sc, len(scalars), out, inf)
+    res = []
+    for i in range(len(scalars)):
+        if inf[i]:
+            res.append(None)
+        else:
+            res.append(
+                (
+                    (_limbs_to_int(out[i, :6]), _limbs_to_int(out[i, 6:12])),
+                    (_limbs_to_int(out[i, 12:18]), _limbs_to_int(out[i, 18:24])),
+                )
+            )
+    return res
+
+
+def g1_msm(points: list, scalars: list):
+    """Σ s_i P_i over affine int tuples -> affine tuple or None."""
+    lib = _load()
+    pts, inf = _g1_affine_arr(points)
+    sc = _scalars_arr(scalars)
+    out = np.zeros((1, 12), dtype=np.uint64)
+    oinf = np.zeros(1, dtype=np.uint8)
+    lib.marlin_g1_msm(pts, inf, sc, len(points), out, oinf)
+    return _g1_out_to_list(out, oinf)[0]
