@@ -59,9 +59,11 @@ class UniversalParams:
     # host-side prefix of the gamma powers: blinding polynomials are tiny
     # (degree hiding_bound+1 = 2), so their MSMs run on the host
     host_gamma_powers: list = None
-    # setup trapdoor, retained so the Sonic variant's trim can derive
-    # negative G2 powers on demand (snark/sonic.py); never serialized
-    tau: int | None = None
+    # negative powers of tau in G2 (neg_powers_of_h[i] = tau^-i * h, host
+    # affine), materialized at setup for Sonic-flavored SRSs exactly as ark
+    # sonic_pc's UniversalParams carries them.  The trapdoor itself is
+    # discarded before setup returns — the SRS never contains toxic waste.
+    neg_powers_of_h: list | None = None
 
     def max_degree(self) -> int:
         return self.powers_of_g[0].shape[0] - 1
@@ -126,13 +128,20 @@ class BatchLCProof:
 # setup / trim
 
 
-def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
+def setup(max_degree: int, rng: ZkRng, neg_powers_of_h: bool = False) -> UniversalParams:
     """Powers-of-τ generation (the trusted-setup artifact; reference
     PC::setup at src/lib.rs:93).
 
-    Runs host-side with a shared windowed fixed-base table — a one-time,
-    platform-independent artifact (cached to disk by serial.cached_srs), so
-    it is kept off the accelerator compile path entirely."""
+    Runs host-side through the native fixed-base routines
+    (csrc/marlin_curve.c) — a one-time, platform-independent artifact
+    (cached to disk by serial.cached_srs), kept off the accelerator
+    compile path entirely.
+
+    With `neg_powers_of_h` the SRS additionally carries the full table of
+    negative powers of τ in G2 (ark sonic_pc's UniversalParams layout) so
+    the Sonic variant's trim works from the public SRS alone.  The
+    trapdoor τ is local to this function — it is never stored.
+    """
     tau = rng.rand_fr()
     gamma = rng.rand_fr()
     taus = [1] * (max_degree + 1)
@@ -147,6 +156,13 @@ def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
 
     h = hc.G2_GEN
     beta_h = hc.g2_mul(h, tau)
+    neg_h = None
+    if neg_powers_of_h:
+        tau_inv = pow(tau, -1, R)
+        neg_taus = [1] * (max_degree + 1)
+        for i in range(1, max_degree + 1):
+            neg_taus[i] = neg_taus[i - 1] * tau_inv % R
+        neg_h = hc.g2_fixed_base_powers(h, neg_taus)
     n_prefix = min(8, max_degree + 2)
     host_gamma = gamma_affine[:n_prefix]
     return UniversalParams(
@@ -157,7 +173,7 @@ def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
         h=h,
         beta_h=beta_h,
         host_gamma_powers=host_gamma,
-        tau=tau,
+        neg_powers_of_h=neg_h,
     )
 
 

@@ -21,18 +21,21 @@ from . import kzg
 
 
 def save_srs(pp: kzg.UniversalParams, path: str) -> None:
+    """The archive contains only public SRS material (the setup trapdoor
+    is discarded inside kzg.setup and cannot appear here)."""
     meta = {
         "g": list(pp.g),
         "gamma_g": list(pp.gamma_g),
         "h": [list(pp.h[0]), list(pp.h[1])],
         "beta_h": [list(pp.beta_h[0]), list(pp.beta_h[1])],
         "host_gamma_powers": [list(p) if p else None for p in (pp.host_gamma_powers or [])],
-        "tau": pp.tau,
     }
     arrays = {}
     for name, pt in (("pg", pp.powers_of_g), ("pgg", pp.powers_of_gamma_g)):
         for i, axis in enumerate("xyz"):
             arrays[f"{name}_{axis}"] = np.asarray(pt[i])
+    if pp.neg_powers_of_h is not None:
+        arrays["neg_h"] = _g2_list_to_limbs(pp.neg_powers_of_h)
     buf = io.BytesIO()
     np.savez_compressed(buf, meta=json.dumps(meta, default=str), **arrays)
     tmp = path + ".tmp"
@@ -41,11 +44,35 @@ def save_srs(pp: kzg.UniversalParams, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _g2_list_to_limbs(points: list) -> np.ndarray:
+    """G2 affine ((x0,x1),(y0,y1)) tuples -> [n, 24] uint64 LE limb array."""
+    out = np.zeros((len(points), 24), dtype=np.uint64)
+    for i, ((x0, x1), (y0, y1)) in enumerate(points):
+        for j, v in enumerate((x0, x1, y0, y1)):
+            for k in range(6):
+                out[i, 6 * j + k] = (v >> (64 * k)) & 0xFFFFFFFFFFFFFFFF
+    return out
+
+
+def _limbs_to_g2_list(arr: np.ndarray) -> list:
+    out = []
+    for row in arr:
+        vals = []
+        for j in range(4):
+            v = 0
+            for k in range(6):
+                v |= int(row[6 * j + k]) << (64 * k)
+            vals.append(v)
+        out.append(((vals[0], vals[1]), (vals[2], vals[3])))
+    return out
+
+
 def load_srs(path: str) -> kzg.UniversalParams:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
         pg = tuple(jnp.asarray(z[f"pg_{a}"]) for a in "xyz")
         pgg = tuple(jnp.asarray(z[f"pgg_{a}"]) for a in "xyz")
+        neg_h = _limbs_to_g2_list(z["neg_h"]) if "neg_h" in z else None
     to_int = lambda v: int(v)
     return kzg.UniversalParams(
         powers_of_g=pg,
@@ -57,17 +84,304 @@ def load_srs(path: str) -> kzg.UniversalParams:
         host_gamma_powers=[
             tuple(to_int(v) for v in p) if p else None for p in meta["host_gamma_powers"]
         ],
-        tau=int(meta["tau"]) if meta.get("tau") else None,
+        neg_powers_of_h=neg_h,
     )
 
 
-def cached_srs(max_degree: int, rng, cache_dir: str | None = None) -> kzg.UniversalParams:
-    """Generate-or-load an SRS for `max_degree` (bench/test convenience)."""
+# --------------------------------------------------------------------------
+# index keys (reference derives CanonicalSerialize on Index and both keys:
+# src/ahp/indexer.rs:113-127, src/data_structures.rs:25-79 — enabling the
+# setup -> index -> prove process split, SURVEY.md §5.4)
+
+
+def _comm_to_meta(c) -> dict:
+    return {
+        "comm": list(c.comm) if c.comm is not None else None,
+        "shifted": list(c.shifted_comm) if c.shifted_comm is not None else None,
+    }
+
+
+def _comm_from_meta(m) -> "kzg.Commitment":
+    return kzg.Commitment(
+        comm=tuple(int(v) for v in m["comm"]) if m["comm"] else None,
+        shifted_comm=tuple(int(v) for v in m["shifted"]) if m["shifted"] else None,
+    )
+
+
+def _vk_meta(vk) -> dict:
+    from . import sonic as sonic_mod
+
+    if isinstance(vk, sonic_mod.SonicVerifierKey):
+        return {
+            "flavor": "sonic",
+            "g": list(vk.g),
+            "gamma_g": list(vk.gamma_g),
+            "h": [list(vk.h[0]), list(vk.h[1])],
+            "beta_h": [list(vk.beta_h[0]), list(vk.beta_h[1])],
+            "neg_h_powers": {
+                str(b): [list(p[0]), list(p[1])] for b, p in vk.neg_h_powers.items()
+            },
+            "supported_degree": vk.supported_degree,
+            "max_degree": vk.max_degree,
+        }
+    return {
+        "flavor": "marlin",
+        "g": list(vk.g),
+        "gamma_g": list(vk.gamma_g),
+        "h": [list(vk.h[0]), list(vk.h[1])],
+        "beta_h": [list(vk.beta_h[0]), list(vk.beta_h[1])],
+        "shift_powers": {str(b): list(p) for b, p in vk.shift_powers.items()},
+        "supported_degree": vk.supported_degree,
+        "max_degree": vk.max_degree,
+    }
+
+
+def _vk_from_meta(m):
+    from . import sonic as sonic_mod
+
+    tup = lambda v: tuple(int(x) for x in v)
+    g2 = lambda v: (tup(v[0]), tup(v[1]))
+    if m["flavor"] == "sonic":
+        return sonic_mod.SonicVerifierKey(
+            g=tup(m["g"]),
+            gamma_g=tup(m["gamma_g"]),
+            h=g2(m["h"]),
+            beta_h=g2(m["beta_h"]),
+            neg_h_powers={int(b): g2(p) for b, p in m["neg_h_powers"].items()},
+            supported_degree=m["supported_degree"],
+            max_degree=m["max_degree"],
+        )
+    return kzg.VerifierKey(
+        g=tup(m["g"]),
+        gamma_g=tup(m["gamma_g"]),
+        h=g2(m["h"]),
+        beta_h=g2(m["beta_h"]),
+        shift_powers={int(b): tup(p) for b, p in m["shift_powers"].items()},
+        supported_degree=m["supported_degree"],
+        max_degree=m["max_degree"],
+    )
+
+
+def save_index_vk(vk, path: str) -> None:
+    """IndexVerifierKey -> small npz (reference data_structures.rs:25-62)."""
+    meta = {
+        "index_info": {
+            "num_variables": vk.index_info.num_variables,
+            "num_constraints": vk.index_info.num_constraints,
+            "num_non_zero": vk.index_info.num_non_zero,
+            "num_instance_variables": vk.index_info.num_instance_variables,
+        },
+        "index_comms": [_comm_to_meta(c) for c in vk.index_comms],
+        "verifier_key": _vk_meta(vk.verifier_key),
+    }
+    _atomic_savez(path, meta=json.dumps(meta, default=str))
+
+
+def load_index_vk(path: str):
+    from .data_structures import IndexVerifierKey
+    from .indexer import IndexInfo
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+    info = IndexInfo(**{k: int(v) for k, v in meta["index_info"].items()})
+    return IndexVerifierKey(
+        index_info=info,
+        index_comms=[_comm_from_meta(c) for c in meta["index_comms"]],
+        verifier_key=_vk_from_meta(meta["verifier_key"]),
+    )
+
+
+def save_index_pk(pk, path: str, include_srs: bool = True) -> None:
+    """IndexProverKey -> npz (reference data_structures.rs:70-79).
+
+    The archive is self-contained by default (committer-key powers
+    included, as arkworks' derived serializer does); `include_srs=False`
+    writes only the index material, for reattaching to a separately-stored
+    SRS via `load_index_pk(path, srs=...)`.
+    """
+    ix = pk.index
+    ja = ix.joint_arith
+    ev = ja.evals_on_K
+    meta = {
+        "vk": {
+            "index_info": {
+                "num_variables": ix.index_info.num_variables,
+                "num_constraints": ix.index_info.num_constraints,
+                "num_non_zero": ix.index_info.num_non_zero,
+                "num_instance_variables": ix.index_info.num_instance_variables,
+            },
+            "index_comms": [_comm_to_meta(c) for c in pk.index_vk.index_comms],
+            "verifier_key": _vk_meta(pk.index_vk.verifier_key),
+        },
+        "ck": {
+            "flavor": type(pk.committer_key).__module__.rsplit(".", 1)[-1],
+            "supported_degree": pk.committer_key.supported_degree,
+            "degree_bounds": list(pk.committer_key.degree_bounds),
+            "hiding_bound": pk.committer_key.hiding_bound,
+        },
+        "domains": {
+            "h": ix.domain_h.size,
+            "k": ix.domain_k.size,
+            "x": ix.domain_x.size,
+        },
+        "include_srs": include_srs,
+    }
+    arrays = {}
+    for name, mat in (("a", ix.a), ("b", ix.b), ("c", ix.c)):
+        arrays[f"{name}_rows"] = np.asarray(mat.rows)
+        arrays[f"{name}_cols"] = np.asarray(mat.cols)
+        arrays[f"{name}_vals"] = np.asarray(mat.vals)
+        arrays[f"{name}_reidx"] = np.asarray(mat.cols_reindexed)
+        meta[f"{name}_shape"] = [mat.num_rows, mat.num_cols]
+    for label, arr in (
+        ("ja_row", ja.row),
+        ("ja_col", ja.col),
+        ("ja_val_a", ja.val_a),
+        ("ja_val_b", ja.val_b),
+        ("ja_val_c", ja.val_c),
+        ("ja_row_col", ja.row_col),
+        ("ev_row", ev.row),
+        ("ev_col", ev.col),
+        ("ev_row_col", ev.row_col),
+        ("ev_val_a", ev.val_a),
+        ("ev_val_b", ev.val_b),
+        ("ev_val_c", ev.val_c),
+    ):
+        arrays[label] = np.asarray(arr)
+    if include_srs:
+        pp = pk.committer_key.pp
+        for name, pt in (("pg", pp.powers_of_g), ("pgg", pp.powers_of_gamma_g)):
+            for i, axis in enumerate("xyz"):
+                arrays[f"srs_{name}_{axis}"] = np.asarray(pt[i])
+        if pp.neg_powers_of_h is not None:
+            arrays["srs_neg_h"] = _g2_list_to_limbs(pp.neg_powers_of_h)
+        meta["srs"] = {
+            "g": list(pp.g),
+            "gamma_g": list(pp.gamma_g),
+            "h": [list(pp.h[0]), list(pp.h[1])],
+            "beta_h": [list(pp.beta_h[0]), list(pp.beta_h[1])],
+            "host_gamma_powers": [
+                list(p) if p else None for p in (pp.host_gamma_powers or [])
+            ],
+        }
+    _atomic_savez(path, meta=json.dumps(meta, default=str), **arrays)
+
+
+def load_index_pk(path: str, srs: kzg.UniversalParams | None = None):
+    from ..ops.sparse import CooMatrix
+    from . import sonic as sonic_mod
+    from .constraint_systems import MatrixArithmetization, MatrixEvals
+    from .data_structures import IndexProverKey, IndexVerifierKey
+    from .domains import Radix2Domain
+    from .indexer import Index, IndexInfo
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        data = {k: z[k] for k in z.files if k != "meta"}
+
+    tup = lambda v: tuple(int(x) for x in v)
+    if meta["include_srs"]:
+        pp = kzg.UniversalParams(
+            powers_of_g=tuple(jnp.asarray(data[f"srs_pg_{a}"]) for a in "xyz"),
+            powers_of_gamma_g=tuple(jnp.asarray(data[f"srs_pgg_{a}"]) for a in "xyz"),
+            g=tup(meta["srs"]["g"]),
+            gamma_g=tup(meta["srs"]["gamma_g"]),
+            h=(tup(meta["srs"]["h"][0]), tup(meta["srs"]["h"][1])),
+            beta_h=(tup(meta["srs"]["beta_h"][0]), tup(meta["srs"]["beta_h"][1])),
+            host_gamma_powers=[
+                tup(p) if p else None for p in meta["srs"]["host_gamma_powers"]
+            ],
+            neg_powers_of_h=_limbs_to_g2_list(data["srs_neg_h"])
+            if "srs_neg_h" in data
+            else None,
+        )
+    elif srs is not None:
+        pp = srs
+    else:
+        raise ValueError("archive has no SRS; pass srs= to reattach one")
+
+    info = IndexInfo(**{k: int(v) for k, v in meta["vk"]["index_info"].items()})
+    mats = {}
+    for name in "abc":
+        mats[name] = CooMatrix(
+            rows=jnp.asarray(data[f"{name}_rows"]),
+            cols=jnp.asarray(data[f"{name}_cols"]),
+            vals=jnp.asarray(data[f"{name}_vals"]),
+            num_rows=int(meta[f"{name}_shape"][0]),
+            num_cols=int(meta[f"{name}_shape"][1]),
+            cols_reindexed=jnp.asarray(data[f"{name}_reidx"]),
+        )
+    ja = MatrixArithmetization(
+        row=jnp.asarray(data["ja_row"]),
+        col=jnp.asarray(data["ja_col"]),
+        val_a=jnp.asarray(data["ja_val_a"]),
+        val_b=jnp.asarray(data["ja_val_b"]),
+        val_c=jnp.asarray(data["ja_val_c"]),
+        row_col=jnp.asarray(data["ja_row_col"]),
+        evals_on_K=MatrixEvals(
+            row=jnp.asarray(data["ev_row"]),
+            col=jnp.asarray(data["ev_col"]),
+            row_col=jnp.asarray(data["ev_row_col"]),
+            val_a=jnp.asarray(data["ev_val_a"]),
+            val_b=jnp.asarray(data["ev_val_b"]),
+            val_c=jnp.asarray(data["ev_val_c"]),
+        ),
+    )
+    index = Index(
+        index_info=info,
+        a=mats["a"],
+        b=mats["b"],
+        c=mats["c"],
+        joint_arith=ja,
+        domain_h=Radix2Domain(int(meta["domains"]["h"])),
+        domain_k=Radix2Domain(int(meta["domains"]["k"])),
+        domain_x=Radix2Domain(int(meta["domains"]["x"])),
+    )
+    ck_meta = meta["ck"]
+    ck_cls = sonic_mod.SonicCommitterKey if ck_meta["flavor"] == "sonic" else kzg.CommitterKey
+    ck = ck_cls(
+        pp=pp,
+        supported_degree=int(ck_meta["supported_degree"]),
+        degree_bounds=[int(b) for b in ck_meta["degree_bounds"]],
+        hiding_bound=int(ck_meta["hiding_bound"]),
+    )
+    vk = IndexVerifierKey(
+        index_info=info,
+        index_comms=[_comm_from_meta(c) for c in meta["vk"]["index_comms"]],
+        verifier_key=_vk_from_meta(meta["vk"]["verifier_key"]),
+    )
+    return IndexProverKey(
+        index_vk=vk,
+        index_comm_rands=[kzg.Randomness.empty() for _ in meta["vk"]["index_comms"]],
+        index=index,
+        committer_key=ck,
+    )
+
+
+def _atomic_savez(path: str, **kwargs) -> None:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **kwargs)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+
+
+def cached_srs(
+    max_degree: int, rng, cache_dir: str | None = None, flavor: str = "marlin"
+) -> kzg.UniversalParams:
+    """Generate-or-load an SRS for `max_degree` (bench/test convenience).
+
+    flavor "sonic" additionally carries the negative G2 power table.
+    """
     cache_dir = cache_dir or os.path.expanduser("~/.cache/marlin_tpu_srs")
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"srs_bls12381_{max_degree}.npz")
+    suffix = "" if flavor == "marlin" else f"_{flavor}"
+    path = os.path.join(cache_dir, f"srs_bls12381_{max_degree}{suffix}.npz")
     if os.path.exists(path):
-        return load_srs(path)
-    pp = kzg.setup(max_degree, rng)
+        pp = load_srs(path)
+        if flavor != "sonic" or pp.neg_powers_of_h is not None:
+            return pp
+    pp = kzg.setup(max_degree, rng, neg_powers_of_h=(flavor == "sonic"))
     save_srs(pp, path)
     return pp

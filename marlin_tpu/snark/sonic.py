@@ -14,10 +14,10 @@ from the Marlin scheme in kzg.py (SURVEY.md §2b row 4):
 * hiding blinds of bounded polynomials are committed over gamma powers at
   the same shift so the unshifting pairing preserves the algebra.
 
-The universal params retain the toxic τ so `trim` can derive the negative
-G2 powers for the requested bounds on demand (a production ceremony would
-emit them from inside the MPC instead; the reference's setup similarly
-materializes them eagerly).
+The universal params carry the full table of negative G2 powers
+(neg_powers_of_h[i] = τ^-i h), materialized inside `setup` exactly as ark
+sonic_pc's UniversalParams does; the trapdoor never outlives setup and
+`trim` only selects the entries for the requested bounds.
 """
 
 from __future__ import annotations
@@ -80,8 +80,9 @@ class SonicVerifierKey:
 
 
 def setup(max_degree: int, rng: ZkRng) -> UniversalParams:
-    pp = kzg.setup(max_degree, rng)
-    return pp
+    """Sonic-flavored SRS: powers of τ in G1 plus ALL negative powers of τ
+    in G2 (ark sonic_pc UniversalParams layout); trapdoor-free."""
+    return kzg.setup(max_degree, rng, neg_powers_of_h=True)
 
 
 def trim(
@@ -93,13 +94,10 @@ def trim(
     d = pp.max_degree()
     if supported_degree > d:
         raise PCError("trim degree exceeds SRS")
-    if getattr(pp, "tau", None) is None:
-        raise PCError("sonic trim needs the setup trapdoor for negative G2 powers")
+    if pp.neg_powers_of_h is None:
+        raise PCError("sonic trim needs an SRS with negative G2 powers (sonic.setup)")
     bounds = sorted(degree_bounds or [])
-    neg_h = {}
-    for b in bounds:
-        neg_exp = pow(pow(pp.tau, d - b, R), -1, R)
-        neg_h[b] = hc.g2_mul(pp.h, neg_exp)
+    neg_h = {b: pp.neg_powers_of_h[d - b] for b in bounds}
     ck = SonicCommitterKey(
         pp=pp,
         supported_degree=supported_degree,

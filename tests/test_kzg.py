@@ -34,7 +34,7 @@ def test_pc_roundtrip(scheme):
     rng = test_rng()
     max_degree = 16
     bound = 6
-    pp = kzg.setup(max_degree, rng)
+    pp = scheme.setup(max_degree, rng)
     ck, vk = scheme.trim(pp, max_degree, 1, [bound])
 
     polys = _mk_polys(rng, bound)

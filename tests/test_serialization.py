@@ -38,3 +38,37 @@ def test_srs_roundtrip_and_proof_bytes():
     assert proof2.to_bytes() == blob
     assert Marlin.verify(vk, [a * b % R], proof2, rng)
     assert not Marlin.verify(vk, [1], proof2, rng)
+
+
+def test_index_key_roundtrip():
+    """Index/pk/vk persistence: index once, reload both keys from disk,
+    prove and verify with the reloaded objects (the reference's
+    setup -> index -> prove process split; CanonicalSerialize derives at
+    src/ahp/indexer.rs:113-127, src/data_structures.rs:25-79)."""
+    rng = test_rng()
+    srs = Marlin.universal_setup(60, 60, 3 * 60, rng)
+    a, b = 5, 7
+    circ = DummyCircuit(a, b, num_variables=10, num_constraints=30)
+    pk, vk = Marlin.index(srs, circ)
+
+    with tempfile.TemporaryDirectory() as d:
+        pk_path = os.path.join(d, "pk.npz")
+        vk_path = os.path.join(d, "vk.npz")
+        serial.save_index_pk(pk, pk_path)
+        serial.save_index_vk(vk, vk_path)
+        pk2 = serial.load_index_pk(pk_path)
+        vk2 = serial.load_index_vk(vk_path)
+
+    assert vk2.to_bytes() == vk.to_bytes()  # transcript-identical vk
+    assert pk2.index_vk.to_bytes() == vk.to_bytes()
+    proof = Marlin.prove(pk2, circ, rng)
+    assert Marlin.verify(vk2, [a * b % R], proof, rng)
+    assert not Marlin.verify(vk2, [a * b % R + 1], proof, rng)
+
+    # SRS-less archive reattaches to an externally stored SRS
+    with tempfile.TemporaryDirectory() as d:
+        pk_path = os.path.join(d, "pk_lean.npz")
+        serial.save_index_pk(pk, pk_path, include_srs=False)
+        pk3 = serial.load_index_pk(pk_path, srs=srs)
+    proof3 = Marlin.prove(pk3, circ, rng)
+    assert Marlin.verify(vk, [a * b % R], proof3, rng)
