@@ -85,7 +85,21 @@ def _bmul(pairs):
 
 
 def double(p: Point) -> Point:
-    """Jacobian doubling, a = 0 (dbl-2009-l).  Y=0 or Z=0 -> Z3=0 (identity)."""
+    """Jacobian doubling, a = 0 (dbl-2009-l).  Y=0 or Z=0 -> Z3=0 (identity).
+
+    On TPU this is one fused Pallas kernel (pallas/curve.py); the
+    decomposed per-field-op form below serves CPU and is the
+    bit-equivalence reference for the kernel.
+    """
+    from .pallas import curve as pcurve
+    from .pallas import routing as _routing
+
+    if _routing.use_pallas():
+        return pcurve.double(p)
+    return _double_xla(p)
+
+
+def _double_xla(p: Point) -> Point:
     X, Y, Z = p
     A, B, YZ = _bmul([(X, X), (Y, Y), (Y, Z)])
     C, t = _bmul([(B, B), (fq.add(X, B), fq.add(X, B))])
@@ -103,8 +117,19 @@ def double(p: Point) -> Point:
 
 
 def add(p: Point, q: Point) -> Point:
-    """Complete branchless Jacobian addition (add-2007-bl + selects),
-    structured as layers of stacked muls."""
+    """Complete branchless Jacobian addition (add-2007-bl + selects).
+
+    On TPU: one fused Pallas kernel.  CPU: layers of stacked XLA muls.
+    """
+    from .pallas import curve as pcurve
+    from .pallas import routing as _routing
+
+    if _routing.use_pallas():
+        return pcurve.add(p, q)
+    return _add_xla(p, q)
+
+
+def _add_xla(p: Point, q: Point) -> Point:
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     Z1Z1, Z2Z2 = _bmul([(Z1, Z1), (Z2, Z2)])
