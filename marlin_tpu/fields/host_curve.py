@@ -89,6 +89,29 @@ def g1_mul(p, k: int):
     return _scalar_mul(FQ_OPS, p, k)
 
 
+def _mul_unreduced(f: _FieldOps, p, k: int):
+    """Scalar mul WITHOUT reducing k mod r (for order checks, where
+    [r]P = O is exactly the property being tested)."""
+    acc = None
+    base = p
+    while k:
+        if k & 1:
+            acc = _affine_add(f, acc, base)
+        base = _affine_add(f, base, base)
+        k >>= 1
+    return acc
+
+
+def g1_in_subgroup(p) -> bool:
+    """Prime-order subgroup membership: [r]P == O.  G1's cofactor is
+    ~2^125, so on-curve does not imply in-subgroup."""
+    return p is None or _mul_unreduced(FQ_OPS, p, P.R_MODULUS) is None
+
+
+def g2_in_subgroup(p) -> bool:
+    return p is None or _mul_unreduced(FQ2_OPS, p, P.R_MODULUS) is None
+
+
 def g1_is_on_curve(p) -> bool:
     if p is None:
         return True
@@ -324,19 +347,28 @@ def g1_compress(p) -> bytes:
 
 
 def g1_decompress(b: bytes):
+    """Inverse of g1_compress with full validation: coordinate range,
+    on-curve, and prime-order-subgroup membership (ark
+    CanonicalDeserialize::deserialize performs the same checks; G1's
+    cofactor is nontrivial so on-curve alone does not imply subgroup)."""
     b = bytearray(b)
     flags = b[-1] & 0xC0
     b[-1] &= 0x3F
     if flags & _FLAG_INFINITY:
         return None
     x = int.from_bytes(bytes(b), "little")
+    if x >= Q:
+        raise ValueError("x coordinate out of field range")
     y2 = (x * x * x + P.CURVE_B) % Q
     y = pow(y2, (Q + 1) // 4, Q)  # q ≡ 3 (mod 4)
     if y * y % Q != y2:
         raise ValueError("not a point on the curve")
     if (y > Q - y) != bool(flags & _FLAG_Y_LARGEST):
         y = Q - y
-    return (x, y)
+    p = (x, y)
+    if not g1_in_subgroup(p):
+        raise ValueError("point not in the prime-order subgroup")
+    return p
 
 
 def g2_compress(p) -> bytes:

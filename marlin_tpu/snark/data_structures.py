@@ -94,6 +94,16 @@ class Proof:
                 out += b"\x00"
             else:
                 out += b"\x01" + hf.fr_to_bytes(pp.random_v)
+        # BatchLCProof.evals: Option<Vec<F>> (ark-poly-commit; None from
+        # open_combinations) — serialized as a 1-byte Option flag
+        if self.pc_proof.evals is None:
+            out += b"\x00"
+        else:
+            out += (
+                b"\x01"
+                + hf.u64_to_bytes(len(self.pc_proof.evals))
+                + field_vec_to_bytes(self.pc_proof.evals)
+            )
         return out
 
     @staticmethod
@@ -103,22 +113,35 @@ class Proof:
 
         off = 0
 
-        def u64():
+        def take(n):
+            """Strict slice: truncated input raises instead of silently
+            misparsing (ark CanonicalDeserialize errors the same way)."""
             nonlocal off
-            v = int.from_bytes(data[off : off + 8], "little")
-            off += 8
+            if off + n > len(data):
+                raise ValueError("truncated proof bytes")
+            chunk = data[off : off + n]
+            off += n
+            return chunk
+
+        def u64(cap=1 << 20):
+            v = int.from_bytes(take(8), "little")
+            if v > cap:
+                raise ValueError("implausible length prefix in proof bytes")
             return v
 
+        def flag_byte():
+            b = take(1)[0]
+            if b > 1:
+                raise ValueError("invalid Option flag in proof bytes")
+            return b
+
         def point():
-            nonlocal off
-            p = hc.g1_decompress(data[off : off + P.FQ_BYTES])
-            off += P.FQ_BYTES
-            return p
+            return hc.g1_decompress(take(P.FQ_BYTES))
 
         def fr():
-            nonlocal off
-            v = hf.fr_from_bytes(data[off : off + P.FR_BYTES])
-            off += P.FR_BYTES
+            v = hf.fr_from_bytes(take(P.FR_BYTES))
+            if v >= R:
+                raise ValueError("field element out of range")
             return v
 
         commitments = []
@@ -126,49 +149,61 @@ class Proof:
             row = []
             for _ in range(u64()):
                 comm = point()
-                shifted = None
-                flag = data[off]
-                off += 1
-                if flag:
-                    shifted = point()
+                shifted = point() if flag_byte() else None
                 row.append(Commitment(comm=comm, shifted_comm=shifted))
             commitments.append(row)
         evaluations = [fr() for _ in range(u64())]
         prover_messages = []
         for _ in range(u64()):
-            flag = data[off]
-            off += 1
-            if flag:
+            if flag_byte():
                 prover_messages.append([fr() for _ in range(u64())])
             else:
                 prover_messages.append([])
         proofs = []
         for _ in range(u64()):
             w = point()
-            flag = data[off]
-            off += 1
-            rv = fr() if flag else None
+            rv = fr() if flag_byte() else None
             proofs.append(PointProof(w=w, random_v=rv))
+        lc_evals = [fr() for _ in range(u64())] if flag_byte() else None
+        if off != len(data):
+            raise ValueError("trailing bytes after proof")
         return Proof(
             commitments=commitments,
             evaluations=evaluations,
             prover_messages=prover_messages,
-            pc_proof=BatchLCProof(proofs=proofs),
+            pc_proof=BatchLCProof(proofs=proofs, evals=lc_evals),
         )
 
     def print_size_info(self) -> dict:
-        """Proof-size statistics (reference data_structures.rs:129-187)."""
-        num_plain = sum(
-            1 for rc in self.commitments for c in rc if c.shifted_comm is None
+        """Proof-size statistics with per-class byte accounting
+        (reference data_structures.rs:129-187)."""
+        num_plain = num_bounded = bytes_plain = bytes_bounded = 0
+        for rc in self.commitments:
+            for c in rc:
+                # marlin_pc Commitment serialized size: comm + Option flag
+                # (+ shifted comm); sonic commitments have no shifted slot
+                sz = P.FQ_BYTES + 1
+                if c.shifted_comm is not None:
+                    num_bounded += 1
+                    bytes_bounded += sz + P.FQ_BYTES
+                else:
+                    num_plain += 1
+                    bytes_plain += sz
+        bytes_proofs = 8 + sum(
+            P.FQ_BYTES + 1 + (P.FR_BYTES if pp.random_v is not None else 0)
+            for pp in self.pc_proof.proofs
         )
-        num_bounded = sum(
-            1 for rc in self.commitments for c in rc if c.shifted_comm is not None
-        )
+        num_msg_elems = sum(len(m) for m in self.prover_messages)
         stats = {
             "argument_size_bytes": self.serialized_size(),
             "num_comms_without_degree_bounds": num_plain,
+            "size_bytes_comms_without_degree_bounds": bytes_plain,
             "num_comms_with_degree_bounds": num_bounded,
+            "size_bytes_comms_with_degree_bounds": bytes_bounded,
             "num_evaluations": len(self.evaluations),
+            "size_bytes_evaluations": 8 + P.FR_BYTES * len(self.evaluations),
             "num_opening_proofs": len(self.pc_proof.proofs),
+            "size_bytes_proofs": bytes_proofs,
+            "num_prover_message_elements": num_msg_elems,
         }
         return stats

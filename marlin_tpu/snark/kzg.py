@@ -122,6 +122,9 @@ class PointProof:
 @dataclass
 class BatchLCProof:
     proofs: list  # one PointProof per distinct query point (sorted order)
+    # ark-poly-commit's BatchLCProof carries `evals: Option<Vec<F>>`
+    # (always None from open_combinations); kept for byte-layout parity
+    evals: list | None = None
 
 
 # --------------------------------------------------------------------------

@@ -231,8 +231,37 @@ class Marlin:
     def verify(
         cls, index_vk: IndexVerifierKey, public_input: list, proof: Proof, rng: ZkRng
     ) -> bool:
-        """Reference src/lib.rs:315-433."""
+        """Reference src/lib.rs:315-433.
+
+        Malformed proofs (wrong shapes, off-curve/out-of-subgroup points,
+        out-of-range scalars) return False rather than raising — the
+        reference's clean Ok(false)/Err surface at src/lib.rs:413-433."""
+        try:
+            return cls._verify_inner(index_vk, public_input, proof, rng)
+        except (
+            ValueError,
+            KeyError,
+            IndexError,
+            kzg.PCError,
+            verifier_mod.VerifierError,
+            lc_mod.LcError,
+        ):
+            return False
+
+    @classmethod
+    def _verify_inner(
+        cls, index_vk: IndexVerifierKey, public_input: list, proof: Proof, rng: ZkRng
+    ) -> bool:
         with profiling.span("Marlin::Verify"):
+            # structural shape of a Marlin proof: 3 rounds of [4, 3, 2]
+            # commitments and one batched opening per query point
+            if [len(r) for r in proof.commitments] != [4, 3, 2]:
+                return False
+            if len(proof.prover_messages) != 3 or any(proof.prover_messages):
+                return False
+            if len(proof.pc_proof.proofs) != 2:
+                return False
+
             # re-pad the input like the prover's formatted input (lib.rs:323-333)
             domain_x = Radix2Domain.new(len(public_input) + 1)
             padded_input = list(public_input) + [0] * (
