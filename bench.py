@@ -27,6 +27,12 @@ def main():
     num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << 14))
     reps = int(os.environ.get("MARLIN_BENCH_REPS", 1))
 
+    t0 = time.perf_counter()
+
+    def progress(msg):
+        print(f"[bench +{time.perf_counter() - t0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    progress(f"importing (2^{num_constraints.bit_length() - 1} constraints)")
     from circuits import DummyCircuit
 
     from marlin_tpu import Marlin
@@ -43,17 +49,22 @@ def main():
     from marlin_tpu.snark import ahp, serial
 
     max_degree = ahp.max_degree(num_constraints, num_constraints, 3 * num_constraints)
+    progress(f"loading/generating SRS (max_degree {max_degree})")
     srs = serial.cached_srs(max_degree, rng)
+    progress("indexing")
     pk, vk = Marlin.index(srs, circ)
 
-    # warmup: compile every kernel shape
+    progress("warmup prove (compiles kernel shapes; cached across runs)")
     proof = Marlin.prove(pk, circ, rng)
+    progress("warmup verify")
     assert Marlin.verify(vk, [a * b % P.R_MODULUS], proof, rng), "bench proof must verify"
 
+    progress(f"timed region: {reps} rep(s)")
     start = time.perf_counter()
     for _ in range(reps):
         proof = Marlin.prove(pk, circ, rng)
     elapsed = time.perf_counter() - start
+    progress(f"done ({elapsed / reps:.2f} s/prove)")
 
     ns_per_constraint = elapsed / reps / num_constraints * 1e9
     print(

@@ -227,11 +227,109 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
     return _combine_windows(stacked, c)
 
 
+def _digits_device(scal16: jnp.ndarray, c: int, w: int) -> jnp.ndarray:
+    """Window-w radix-2^c digit of canonical [n, 16]-limb scalars (device)."""
+    off = w * c
+    l = off // 16
+    o = off % 16
+    lo = scal16[:, l].astype(jnp.uint32)
+    hi = (
+        scal16[:, l + 1].astype(jnp.uint32)
+        if l + 1 < scal16.shape[1]
+        else jnp.zeros_like(lo)
+    )
+    word = lo | (hi << jnp.uint32(16))
+    return (word >> jnp.uint32(o)) & jnp.uint32((1 << c) - 1)
+
+
+def _window_layout_device(d: jnp.ndarray, nb: int, cap: int):
+    """Bucket-matrix layout computed on device (jit/shard_map-compatible
+    twin of the host argsort/bincount path in msm_pippenger).
+
+    Returns (layout [nb*cap] int32 with -1 empties, spill count).  Entries
+    whose bucket exceeds `cap` are dropped from the layout and counted —
+    the caller must fall back to an exact path when spill != 0."""
+    n = d.shape[0]
+    order = jnp.argsort(d, stable=True).astype(jnp.int32)
+    d_sorted = d[order].astype(jnp.int32)
+    keep = d_sorted != 0
+    counts = jnp.bincount(d_sorted, length=nb)
+    starts = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+    ).astype(jnp.int32)
+    col = jnp.arange(n, dtype=jnp.int32) - starts[d_sorted]
+    valid = keep & (col < cap)
+    spill = jnp.sum(keep & ~valid)
+    pos = jnp.where(valid, d_sorted * cap + col, nb * cap)
+    layout = (
+        jnp.full(nb * cap, -1, jnp.int32).at[pos].set(order, mode="drop")
+    )
+    return layout, spill
+
+
+def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
+    """Fully on-device Pippenger: jit- and shard_map-compatible (no host
+    layout pass).  scal16: canonical (non-Montgomery) [n, 16] limbs.
+
+    Returns (total [1] Jacobian point, spill count).  `cap` is sized at
+    ~4x the mean bucket load, so spill > 0 has cosmically small
+    probability for FS-derived scalars; callers check it and rerun the
+    exact host-layout path on spill (parallel/msm_sharded.py does)."""
+    n = points[0].shape[0]
+    num_windows = -(-FR_BITS // c)
+    nb = 1 << c
+    cap = 1 << max(3, (4 * max(1, n // nb) - 1).bit_length())
+
+    layouts = []
+    spill = jnp.zeros((), jnp.int32)
+    for w in range(num_windows):
+        d = _digits_device(scal16, c, w)
+        layout, s = _window_layout_device(d, nb, cap)
+        layouts.append(layout)
+        spill = spill + s
+
+    windows = [None] * num_windows
+    max_slots = 1 << 21
+    group = max(1, min(num_windows, max_slots // (nb * cap)))
+    for start in range(0, num_windows, group):
+        chunk = layouts[start : start + group]
+        batched = _windows_kernel(
+            points, jnp.concatenate(chunk), len(chunk), c, int(cap)
+        )
+        for j in range(len(chunk)):
+            windows[start + j] = tuple(b[j : j + 1] for b in batched)
+    stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
+    return _combine_windows(stacked, c), spill
+
+
 def msm_ladder(points: cd.Point, scalars_mont: jnp.ndarray) -> cd.Point:
     """Batched double-and-add + tree reduction (small batches)."""
     scal = bi.from_mont(fr.CTX, scalars_mont)
     muls = cd.scalar_mul_batch(points, scal, FR_BITS)
     return cd.tree_reduce_add(muls)
+
+
+def _sharded_msm_or_none(points: cd.Point, scalars_mont: jnp.ndarray):
+    """Distributed Pippenger when a parallel context is active (the
+    rayon-parallel-MSM analog; see parallel/context.py).  Inputs are
+    padded with identity points / zero scalars to divide over the mesh."""
+    from ..parallel import context as pctx
+
+    ctx = pctx.current()
+    n = points[0].shape[0]
+    if ctx is None or n < pctx.MSM_MIN_SHARDED:
+        return None
+    from ..parallel.msm_sharded import msm_sharded
+
+    d = ctx.num_devices
+    pad = -n % d
+    if pad:
+        ident = cd.identity((pad,))
+        points = tuple(
+            jnp.concatenate([points[i], ident[i]], axis=0) for i in range(3)
+        )
+        scalars_mont = jnp.pad(scalars_mont, ((0, pad), (0, 0)))
+    return msm_sharded(points, scalars_mont, ctx.mesh, ctx.axis)
 
 
 def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
@@ -240,6 +338,9 @@ def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd
     points: [n] Jacobian batch (Z=1 for affine inputs, Z=0 identity).
     scalars_mont: [n, 16] Fr Montgomery limbs.
     """
+    out = _sharded_msm_or_none(points, scalars_mont)
+    if out is not None:
+        return out
     if points[0].shape[0] >= _PIPPENGER_MIN:
         return msm_pippenger(points, scalars_mont, c)
     return msm_ladder(points, scalars_mont)
@@ -262,7 +363,8 @@ def msm_many(powers: cd.Point, jobs: list) -> list:
         for off, scal in jobs:
             n_j = scal.shape[0]
             pts = tuple(powers[i][off : off + n_j] for i in range(3))
-            out.append(msm_pippenger(pts, scal))
+            sharded = _sharded_msm_or_none(pts, scal)
+            out.append(sharded if sharded is not None else msm_pippenger(pts, scal))
         return out
     pts_parts = []
     scal_parts = []

@@ -76,6 +76,26 @@ def _ntt_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return out
 
 
+def _sharded_or_none(x: jnp.ndarray, inverse: bool):
+    """Four-step mesh NTT when a parallel context is active and the size
+    divides over the mesh (the rayon-parallel-FFT analog; see
+    parallel/context.py)."""
+    from ..parallel import context as pctx
+
+    ctx = pctx.current()
+    n = x.shape[0]
+    if ctx is None or n < pctx.NTT_MIN_SHARDED:
+        return None
+    d = ctx.num_devices
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    if n1 % d or (n // n1) % d:
+        return None
+    from ..parallel.ntt_sharded import ntt_4step
+
+    return ntt_4step(x, ctx.mesh, ctx.axis, inverse=inverse)
+
+
 def ntt(coeffs: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """Forward NTT: coefficients -> evaluations at [1, g, g^2, ...].
 
@@ -89,7 +109,8 @@ def ntt(coeffs: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
         coeffs = jnp.pad(coeffs, ((0, n - ln), (0, 0)))
     elif ln > n:
         raise ValueError(f"poly of length {ln} does not fit domain of size {n}")
-    return _ntt_jit(coeffs, False)
+    out = _sharded_or_none(coeffs, False)
+    return out if out is not None else _ntt_jit(coeffs, False)
 
 
 def intt(evals: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +121,8 @@ def intt(evals: jnp.ndarray) -> jnp.ndarray:
     """
     n = evals.shape[0]
     assert n & (n - 1) == 0, "evaluation vector must have power-of-two length"
-    return _ntt_jit(evals, True)
+    out = _sharded_or_none(evals, True)
+    return out if out is not None else _ntt_jit(evals, True)
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import core
-from .field import LANE, from_lm, to_lm
+from .field import LANE, from_lm, pad_target as field_pad_target, to_lm
 
 # rows per grid step (Mosaic requires multiples of 8 in the sublane dim);
 # the add kernel keeps ~30 live Fq temporaries, so the block stays small
@@ -151,7 +151,7 @@ def _prep_coords(coords):
     L = coords[0].shape[-1]
     shape = jnp.broadcast_shapes(*(c.shape[:-1] for c in coords))
     n = int(np.prod(shape)) if shape else 1
-    pad_to = max(_TILE, -(-n // _TILE) * _TILE)
+    pad_to = field_pad_target(n)
     out = []
     for c in coords:
         flat = jnp.broadcast_to(c, (*shape, L)).reshape(n, L)

@@ -6,8 +6,10 @@ boundary, and run one fused kernel per op — the production TPU path for
 `ops.fr` / `ops.fq` (round-1's XLA CIOS chains spent ~85% of their time in
 per-op dispatch + lane waste; see BASELINE.md).
 
-All kernels are shape-stable: batches are padded to LANE*SUBLANE tiles so
-one compiled kernel serves every batch in a size class.
+All kernels are shape-stable: batches are padded to power-of-two tile
+counts, so at most ~log2(max_batch) kernels per op ever compile — remote
+TPU compiles cost minutes each (see memory: axon-tpu-compile-constraints),
+making the shape-class set the dominant cold-start cost.
 """
 
 from __future__ import annotations
@@ -42,6 +44,15 @@ def _pad_flat(x: jnp.ndarray, n: int, pad_to: int) -> jnp.ndarray:
     if n == pad_to:
         return x
     return jnp.pad(x, ((0, pad_to - n), (0, 0)))
+
+
+def pad_target(n: int) -> int:
+    """Smallest power-of-two multiple of one tile that fits n (bounds the
+    number of distinct compiled kernel shapes to ~log2(max batch))."""
+    t = _TILE
+    while t < n:
+        t *= 2
+    return t
 
 
 def _mul_kernel(a_ref, b_ref, o_ref, *, n_tuple, np0):
@@ -134,7 +145,7 @@ def _prep(ctx, arrs):
     L = ctx.L
     shape = jnp.broadcast_shapes(*(a.shape[:-1] for a in arrs))
     n = int(np.prod(shape)) if shape else 1
-    pad_to = max(_TILE, -(-n // _TILE) * _TILE)
+    pad_to = pad_target(n)
     out = []
     for a in arrs:
         flat = jnp.broadcast_to(a, (*shape, L)).reshape(n, L)

@@ -2,10 +2,18 @@
 
 The rayon-parallel Pippenger inside the reference's `PC::commit`
 (SURVEY.md §2c item 3) becomes pure data parallelism over chips: each
-device computes the MSM of its (points, scalars) shard with the single-chip
-kernel, then the per-device partial sums are gathered and tree-reduced —
-the point-add analog of a psum (point addition is not an XLA reduction
-primitive, so the combine is an explicit all_gather + fold).
+device runs a full windowed-bucket **Pippenger** over its (points,
+scalars) shard — bucket accumulation, bucket combine, and window Horner
+are all linear, so they complete shard-locally — and the per-device
+partial sums are gathered and tree-reduced (the point-add analog of a
+psum; point addition is not an XLA reduction primitive, so the combine is
+an explicit all_gather + fold).
+
+The shard-local kernel is `ops.msm.pippenger_device`, the jit/shard_map
+twin of the host-orchestrated single-chip path.  Its statically-capped
+bucket matrix can (with cosmically small probability for FS-derived
+scalars) drop entries; every device reports a spill count, and the
+wrapper reruns the exact single-chip path when any shard spilled.
 """
 
 from __future__ import annotations
@@ -17,30 +25,62 @@ from jax.sharding import Mesh, PartitionSpec as PS
 from ..ops import bigint as bi
 from ..ops import curve_device as cd
 from ..ops import fr
+from ..ops import msm as msm_mod
 
 FR_BITS = 255
 
 
-def msm_sharded(points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x") -> cd.Point:
+def _local_pippenger(px, py, pz, scal, axis: str, c: int):
+    canonical = bi.from_mont(fr.CTX, scal)
+    part, spill = msm_mod.pippenger_device((px, py, pz), canonical, c)
+    gathered = tuple(
+        jax.lax.all_gather(part[i], axis, axis=0, tiled=True) for i in range(3)
+    )
+    total = cd.tree_reduce_add(gathered)
+    return total + (jax.lax.psum(spill, axis),)
+
+
+def _local_ladder(px, py, pz, scal, axis: str):
+    canonical = bi.from_mont(fr.CTX, scal)
+    part = cd.scalar_mul_batch((px, py, pz), canonical, FR_BITS)
+    part = cd.tree_reduce_add(part)
+    gathered = tuple(
+        jax.lax.all_gather(part[i], axis, axis=0, tiled=True) for i in range(3)
+    )
+    return cd.tree_reduce_add(gathered)
+
+
+def msm_sharded(
+    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x"
+) -> cd.Point:
     """Σ_i s_i P_i with (points, scalars) sharded over `axis`.
 
     Result is replicated on every device (shape [1] Jacobian point).
     """
+    n = points[0].shape[0]
+    n_local = n // mesh.shape[axis]
 
-    def local(px, py, pz, scal):
-        canonical = bi.from_mont(fr.CTX, scal)
-        part = cd.scalar_mul_batch((px, py, pz), canonical, FR_BITS)
-        part = cd.tree_reduce_add(part)  # [1] local partial
-        gathered = tuple(
-            jax.lax.all_gather(part[i], axis, axis=0, tiled=True) for i in range(3)
+    if n_local < msm_mod._PIPPENGER_MIN:
+        shard = jax.shard_map(
+            lambda px, py, pz, s: _local_ladder(px, py, pz, s, axis),
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(PS(axis, None),) * 4,
+            out_specs=(PS(None, None),) * 3,
         )
-        return cd.tree_reduce_add(gathered)
+        return shard(points[0], points[1], points[2], scalars_mont)
 
+    c = min(13, max(6, n_local.bit_length() - 6))
     shard = jax.shard_map(
-        local,
+        lambda px, py, pz, s: _local_pippenger(px, py, pz, s, axis, c),
         mesh=mesh,
         check_vma=False,
-        in_specs=(PS(axis, None), PS(axis, None), PS(axis, None), PS(axis, None)),
-        out_specs=(PS(None, None), PS(None, None), PS(None, None)),
+        in_specs=(PS(axis, None),) * 4,
+        out_specs=(PS(None, None),) * 3 + (PS(),),
     )
-    return shard(points[0], points[1], points[2], scalars_mont)
+    x, y, z, spill = shard(points[0], points[1], points[2], scalars_mont)
+    if int(jax.device_get(spill)) != 0:
+        # exact host-layout single-chip path (NOT msm_mod.msm, which would
+        # re-enter this router under an active parallel context)
+        return msm_mod.msm_pippenger(points, scalars_mont)
+    return (x, y, z)

@@ -111,8 +111,21 @@ class Marlin:
     # ---- prove -------------------------------------------------------------
 
     @classmethod
-    def prove(cls, index_pk: IndexProverKey, circuit, zk_rng: ZkRng) -> Proof:
-        """Reference src/lib.rs:151-311."""
+    def prove(
+        cls, index_pk: IndexProverKey, circuit, zk_rng: ZkRng, mesh=None
+    ) -> Proof:
+        """Reference src/lib.rs:151-311.
+
+        With `mesh` (a jax.sharding.Mesh), every round NTT and commit MSM
+        runs sharded across the mesh devices (four-step NTT + distributed
+        Pippenger — the rayon `parallel` feature's TPU analog,
+        Cargo.toml:64); the proof is bitwise identical to single-chip.
+        """
+        if mesh is not None:
+            from ..parallel.context import use_mesh
+
+            with use_mesh(mesh):
+                return cls.prove(index_pk, circuit, zk_rng)
         with profiling.span("Marlin::Prover"):
             state = prover_mod.prover_init(index_pk.index, circuit)
             public_input = state.public_input()

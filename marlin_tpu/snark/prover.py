@@ -16,6 +16,7 @@ Round structure (call stack in SURVEY.md §3.3):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -127,6 +128,27 @@ def prover_init(index: Index, circuit) -> ProverState:
     )
 
 
+def _poly_degree(coeffs) -> int:
+    """Index of the last nonzero coefficient (-1 for the zero poly).
+    Debug-check helper — forces a host transfer, so only called under
+    MARLIN_TPU_DEBUG_CHECKS=1 (reference debug-profile assert!s)."""
+    ints = fr.to_ints(coeffs)
+    for i in range(len(ints) - 1, -1, -1):
+        if ints[i]:
+            return i
+    return -1
+
+
+def _assert_degree_le(coeffs, bound: int, label: str) -> None:
+    d = _poly_degree(coeffs)
+    assert d <= bound, f"{label} degree {d} exceeds bound {bound}"
+
+
+def _assert_degree_lt(coeffs, bound: int, label: str) -> None:
+    d = _poly_degree(coeffs)
+    assert d < bound, f"{label} degree {d} not < {bound}"
+
+
 # --------------------------------------------------------------------------
 # round 1
 
@@ -190,6 +212,13 @@ def prover_first_round(state: ProverState, zk_rng: ZkRng):
         h=h,
         x_size=x_size,
     )
+
+    if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
+        # reference prover.rs:385-388 (debug-profile assert!s)
+        _assert_degree_lt(w_poly, h - x_size + zk, "w")
+        _assert_degree_lt(z_a_poly, h + zk, "z_a")
+        _assert_degree_lt(z_b_poly, h + zk, "z_b")
+        _assert_degree_le(mask, 3 * h + 2 * zk - 3, "mask_poly")
 
     oracles = {
         "w": LabeledPoly("w", w_poly, None, 1),
@@ -318,6 +347,12 @@ def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
         n_mul=n_mul,
     )
 
+    if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
+        # reference prover.rs:516,556-557
+        zk = state.zk_bound
+        _assert_degree_le(g_1, h - 2, "g_1")
+        _assert_degree_le(h_1, 2 * h + 2 * zk - 2, "h_1")
+
     oracles = {
         "t": LabeledPoly("t", t_poly, None, None),
         "g_1": LabeledPoly("g_1", g_1, h - 2, 1),
@@ -414,6 +449,11 @@ def prover_third_round(ver_msg, state: ProverState, zk_rng: ZkRng):
         fr.from_int(alpha * beta % R),
         k=k,
     )
+
+    if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
+        # reference prover.rs:697-698
+        _assert_degree_le(h_2, k - 2, "h_2")
+        _assert_degree_le(g_2, k - 2, "g_2")
 
     return {
         "g_2": LabeledPoly("g_2", g_2, k - 2, None),

@@ -4,8 +4,14 @@ The five matrix-shape tests sweep the padding paths (tall/squat/square);
 each runs index -> prove -> verify with fresh witnesses plus the negative
 check that a wrong public input rejects.  Iteration counts are reduced from
 the reference's 100 (the compiled kernels are shape-cached, so one
-iteration exercises the same code paths).
+iteration exercises the same code paths); MARLIN_TPU_SOAK_ITERS=n restores
+a randomness-soak tier (fresh witnesses each iteration, covering
+rejection-sampling and bucket-layout edge cases the cached-kernel argument
+does not).  Suggested soak: MARLIN_TPU_SOAK_ITERS=10 with
+MARLIN_TPU_DEBUG_CHECKS=1.
 """
+
+import os
 
 import pytest
 from circuits import Circuit, OutlineTestCircuit
@@ -23,6 +29,7 @@ def srs():
 
 
 def _test_circuit(srs, num_constraints, num_variables, iterations=1):
+    iterations = max(iterations, int(os.environ.get("MARLIN_TPU_SOAK_ITERS", "0")))
     rng = test_rng()
     for it in range(iterations):
         a = rng.rand_fr()

@@ -58,3 +58,39 @@ def test_msm_sharded_matches_single_chip(mesh):
     single = cd.to_affine_ints(msm.msm(dev, sm))[0]
     multi = cd.to_affine_ints(msm_sharded(dev, sm, mesh))[0]
     assert single == multi == hc.g1_msm(pts, scal)
+
+
+def _powers_fixture(n):
+    """n distinct points (powers of the generator) + random scalars."""
+    base_scal = [rng.randrange(1, P.R_MODULUS) for _ in range(n)]
+    pts = hc.g1_fixed_base_powers(hc.G1_GEN, base_scal)
+    scal = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    return pts, scal
+
+
+@pytest.mark.slow
+def test_msm_sharded_pippenger_matches_single_chip(mesh):
+    """Large enough that every shard takes the in-jit Pippenger path
+    (n/8 >= _PIPPENGER_MIN): the distributed fast algorithm, not the
+    ladder, must be bitwise-equal to the host-orchestrated kernel."""
+    n = 8 * msm._PIPPENGER_MIN
+    pts, scal = _powers_fixture(n)
+    dev = cd.from_affine_ints(pts)
+    sm = fr.from_ints(scal)
+    single = cd.to_affine_ints(msm.msm(dev, sm))[0]
+    multi = cd.to_affine_ints(msm_sharded(dev, sm, mesh))[0]
+    assert single == multi == hc.g1_msm(pts, scal)
+
+
+@pytest.mark.slow
+def test_msm_sharded_spill_fallback(mesh):
+    """All-identical scalars overflow the statically-capped buckets in
+    every window; the spill counter must trigger the exact fallback."""
+    n = 8 * msm._PIPPENGER_MIN
+    pts, _ = _powers_fixture(n)
+    s = rng.randrange(1, P.R_MODULUS)
+    scal = [s] * n
+    dev = cd.from_affine_ints(pts)
+    sm = fr.from_ints(scal)
+    multi = cd.to_affine_ints(msm_sharded(dev, sm, mesh))[0]
+    assert multi == hc.g1_msm(pts, scal)
