@@ -323,10 +323,23 @@ def reduce_wide(ctx: ModCtx, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def to_mont(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    from .pallas import routing as _routing
+
+    if _routing.use_pallas():
+        # one fused Pallas mont-mul by R^2 — the XLA CIOS chain below costs
+        # minutes of remote compile per shape on TPU
+        return _routing.binop("mul", ctx, x, jnp.asarray(ctx.r2_limbs)[None, :])
     return mont_mul(ctx, x, jnp.asarray(ctx.r2_limbs))
 
 
 def from_mont(ctx: ModCtx, x: jnp.ndarray) -> jnp.ndarray:
+    from .pallas import routing as _routing
+
+    if _routing.use_pallas():
+        # mont_mul(x, 1) = x * R^-1 = canonical form, as one fused kernel
+        one = np.zeros(ctx.L, dtype=np.uint32)
+        one[0] = 1
+        return _routing.binop("mul", ctx, x, jnp.asarray(one)[None, :])
     return mont_reduce(ctx, normalize(x, 2 * ctx.L))
 
 
