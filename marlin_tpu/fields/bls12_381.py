@@ -35,6 +35,7 @@ FQ_MONT_R2 = (FQ_MONT_R * FQ_MONT_R) % Q_MODULUS
 FQ_MONT_INV = pow(-Q_MODULUS, -1, 1 << 384)
 
 # --- Curve E(Fq): y^2 = x^3 + 4 -------------------------------------------
+CURVE_A = 0
 CURVE_B = 4
 
 G1_GENERATOR_X = 0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB
@@ -57,3 +58,19 @@ G2_GENERATOR_Y = (
 # and (negated) final exponentiation.  x is negative for BLS12-381.
 BLS_X = 0xD201000000010000
 BLS_X_IS_NEGATIVE = True
+
+# --- Generic-engine metadata (fields.pairing_generic tower shape) ----------
+# Fq2 = Fq[u]/(u^2 + 1); Fq6 = Fq2[v]/(v^3 - (1+u)); Fq12 = Fq6[w]/(w^2 - v).
+FQ2_NONRESIDUE = -1
+FQ6_NONRESIDUE = (1, 1)
+EMBEDDING_DEGREE = 12
+TWIST_TYPE = "M"
+# trace of Frobenius: #E(Fq) = q + 1 - t with t = x + 1 (x negative above)
+TRACE = -BLS_X + 1
+
+# No small-subgroup structure is used for BLS12-381 domains (2-adicity 32
+# covers every protocol size); mixed-radix machinery reads these as "none".
+FR_SMALL_SUBGROUP_BASE = None
+FR_SMALL_SUBGROUP_ADICITY = 0
+
+CURVE_NAME = "bls12_381"

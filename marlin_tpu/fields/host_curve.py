@@ -11,7 +11,7 @@ Points are affine tuples `(x, y)` with `None` for the identity.
 
 from __future__ import annotations
 
-from . import bls12_381 as P
+from . import active as P
 from . import host_pairing as hp
 
 Q = P.Q_MODULUS
@@ -47,8 +47,10 @@ def _affine_add(f: _FieldOps, p, q):
     if x1 == x2:
         if y1 != y2 or y1 == f.zero:
             return None
-        # doubling
-        lam = f.mul(f.mul(f.scalar(3), f.sqr(x1)), f.inv(f.mul(f.scalar(2), y1)))
+        # doubling: lam = (3 x^2 + a) / (2 y) — general short-Weierstrass a
+        # (the MNT curve family has a != 0; BLS12/BN have a == 0)
+        num = f.add(f.mul(f.scalar(3), f.sqr(x1)), f.scalar(P.CURVE_A))
+        lam = f.mul(num, f.inv(f.mul(f.scalar(2), y1)))
     else:
         lam = f.mul(f.sub(y2, y1), f.inv(f.sub(x2, x1)))
     x3 = f.sub(f.sub(f.sqr(lam), x1), x2)
@@ -116,14 +118,18 @@ def g1_is_on_curve(p) -> bool:
     if p is None:
         return True
     x, y = p
-    return (y * y - (x * x * x + P.CURVE_B)) % Q == 0
+    return (y * y - (x * x * x + P.CURVE_A * x + P.CURVE_B)) % Q == 0
 
 
 # --- host Jacobian arithmetic (no per-add inversions) ------------------------
 # Used by the host MSM path; (X, Y, Z) with Z == 0 for identity.
+# dbl-2009-l / add-2007-bl are a == 0 formulas (BLS12/BN); an a != 0 config
+# (MNT family) must route through the affine law instead.
+_JAC_OK = P.CURVE_A == 0
 
 
 def _jac_double(p):
+    assert _JAC_OK, "Jacobian fast path requires a == 0"
     X, Y, Z = p
     if Z == 0 or Y == 0:
         return (0, 1, 0)
@@ -194,7 +200,7 @@ def g1_fixed_base_powers(base, scalars, window: int = 8):
     if nc.available():
         return nc.g1_fixed_base_powers(base, [s % P.R_MODULUS for s in scalars])
     c = window
-    num_windows = -(-255 // c)
+    num_windows = -(-P.FR_BITS // c)
     base_j = _jac_from_affine(base)
     # table[w][d] = d * 2^(cw) * base
     table = []
@@ -266,7 +272,7 @@ def g1_msm(points, scalars, window: int = 8):
     if not pairs:
         return None
     c = window
-    num_windows = -(-255 // c)
+    num_windows = -(-P.FR_BITS // c)
     total = (0, 1, 0)
     for w in range(num_windows - 1, -1, -1):
         for _ in range(c if w != num_windows - 1 else 0):

@@ -66,6 +66,12 @@ def _load():
 
 
 def available() -> bool:
+    # The C runtime hardcodes the BLS12-381 moduli (csrc/marlin_curve.c);
+    # other active curves use the Python/generic host path.
+    from . import active as P
+
+    if getattr(P, "CURVE_NAME", "bls12_381") != "bls12_381":
+        return False
     return _load() is not None
 
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import fq
 from .limbs import ints_to_limbs
 

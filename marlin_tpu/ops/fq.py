@@ -12,11 +12,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import bigint as bi
 from .limbs import int_to_limbs, ints_to_limbs, limbs_to_ints
 
-CTX = bi.ModCtx("fq", P.Q_MODULUS, 24)
+# limb count tracks the config's Montgomery radix (R = 2^(8*FQ_BYTES)):
+# 24 x 16-bit limbs for BLS12-381's 381-bit Fq, 16 for BN254's 254-bit Fq.
+CTX = bi.ModCtx("fq", P.Q_MODULUS, P.FQ_BYTES * 8 // 16)
 L = CTX.L
 
 _add_xla = jax.jit(lambda a, b: bi.add_mod(CTX, a, b))

@@ -14,11 +14,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import bigint as bi
 from .limbs import int_to_limbs, ints_to_limbs, limbs_to_ints
 
-CTX = bi.ModCtx("fr", P.R_MODULUS, 16)
+# limb count tracks the config's Montgomery radix (R = 2^(8*FR_BYTES))
+CTX = bi.ModCtx("fr", P.R_MODULUS, P.FR_BYTES * 8 // 16)
 L = CTX.L
 
 # XLA-path jits (CPU production path; TPU fallback via MARLIN_TPU_PALLAS=0).

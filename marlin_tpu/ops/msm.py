@@ -31,12 +31,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import bigint as bi
 from . import curve_device as cd
 from . import fr
 
-FR_BITS = 255
+FR_BITS = P.FR_BITS
 
 # below this size the ladder path wins (fewer kernel launches)
 _PIPPENGER_MIN = 1 << 10
@@ -68,29 +68,40 @@ def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
 def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, cap: int) -> cd.Point:
     """All Pippenger windows at once: [n_win] partial sums T_w = Σ_b b*S_b.
 
-    layout: [n_win * 2^c * cap] int32 — index into `points` for each
-    bucket-matrix slot, or -1 for an empty slot (filled with the identity).
-    Batching every window into one kernel keeps the VPU lanes full (each
-    fold step adds ~n_win*2^c points) and cuts dispatches from ~25/MSM to 3.
+    layout: [cap * n_win * 2^c] int32 in slot-major order (slot j of
+    window w's bucket b at j*(n_win*nb) + w*nb + b) — index into `points`,
+    or -1 for an empty slot (filled with the identity).  Batching every
+    window into one kernel keeps the VPU lanes full.
+
+    On TPU the cap-step fold runs as ONE Pallas kernel with the
+    accumulator resident in VMEM (pallas/curve.bucket_fold); elsewhere a
+    fori_loop folds slot planes (one point-add instance in the graph).
     """
+    from .pallas import curve as pcurve
+    from .pallas import routing as _routing
+
     nb = 1 << c
     filled = layout >= 0
     src = jnp.clip(layout, 0, points[0].shape[0] - 1)
     g = cd.gather(points, src)
     ident = cd.identity((layout.shape[0],))
     mat = cd.select_point(filled, g, ident)
-    # fold the bucket-matrix columns with a fori loop: one point-add
-    # instance in the compiled graph (compile size is the binding
-    # constraint) at work-optimal n_win*nb*cap adds
-    mat = tuple(m.reshape(n_win * nb, cap, -1) for m in mat)
+    mat = tuple(m.reshape(cap, n_win * nb, -1) for m in mat)
 
-    def fold(j, acc):
-        col = tuple(
-            jax.lax.dynamic_slice_in_dim(mat[i], j, 1, axis=1)[:, 0] for i in range(3)
+    if _routing.use_pallas():
+        buckets = pcurve.bucket_fold(mat, cap)
+    else:
+
+        def fold(j, acc):
+            col = tuple(
+                jax.lax.dynamic_slice_in_dim(mat[i], j, 1, axis=0)[0]
+                for i in range(3)
+            )
+            return cd.add(acc, col)
+
+        buckets = jax.lax.fori_loop(
+            1, cap, fold, tuple(m[0] for m in mat)
         )
-        return cd.add(acc, col)
-
-    buckets = jax.lax.fori_loop(1, cap, fold, tuple(m[:, 0] for m in mat))
     # [nb, n_win]: bucket index leads so the Hillis scans run along axis 0
     buckets = tuple(b.reshape(n_win, nb, -1).swapaxes(0, 1) for b in buckets)
 
@@ -109,10 +120,18 @@ def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, c
 def _combine_windows(windows_stacked: cd.Point, c: int) -> cd.Point:
     """Horner combine over [W, 1] window sums: total = Σ_w 2^(cw) T_w.
 
-    Nested fori loops keep the compiled graph to one double + one add
-    instance (doubling the identity is a no-op, so no first-iteration
-    special case is needed).
+    On TPU: one Pallas kernel (parallel masked doubling per lane + lane
+    tree reduction; pallas/curve.combine_windows).  Elsewhere: nested
+    fori loops — one double + one add instance in the compiled graph
+    (doubling the identity is a no-op, so no first-iteration special
+    case is needed).
     """
+    from .pallas import curve as pcurve
+    from .pallas import routing as _routing
+
+    if _routing.use_pallas():
+        return pcurve.combine_windows(windows_stacked, c)
+
     num_windows = windows_stacked[0].shape[0]
 
     def body(i, total):
@@ -142,29 +161,22 @@ def _masked_digit_sum(points: cd.Point, _n: int, mask: jnp.ndarray) -> cd.Point:
 
 def _skewed_window(points: cd.Point, digits: np.ndarray):
     """Window with few distinct digit values (e.g. the 2-bit top window, or
-    repeated-scalar inputs): one masked tree reduction per value, combined
-    on the host (tiny)."""
-    from ..fields import host_curve as hc
-
+    repeated-scalar inputs): one masked tree reduction per value, then
+    v-scaled combine — all on device ([1]-point double-and-add over the
+    static bits of each v; no host round trip / sync on the hot path)."""
     n = points[0].shape[0]
     values = [int(v) for v in np.unique(digits) if v != 0]
-    acc = (0, 1, 0)
+    acc = cd.identity((1,))
     for v in values:
-        s_dev = _masked_digit_sum(points, n, jnp.asarray(digits == v))
-        aff = cd.to_affine_ints(s_dev)[0]
-        if aff is None:
-            continue
-        part = hc._jac_from_affine(aff)
-        # acc += v * part (host double-and-add; v < 2^c)
-        vv = v
-        base = part
-        while vv:
-            if vv & 1:
-                acc = hc._jac_add(acc, base)
-            base = hc._jac_double(base)
-            vv >>= 1
-    aff = hc._jac_to_affine(acc)
-    return cd.from_affine_ints([aff])
+        part = _masked_digit_sum(points, n, jnp.asarray(digits == v))
+        # acc += v * part: static double-and-add, MSB first
+        vp = cd.identity((1,))
+        for bit in bin(v)[2:]:
+            vp = cd.double(vp)
+            if bit == "1":
+                vp = cd.add(vp, part)
+        acc = cd.add(acc, vp)
+    return acc
 
 
 def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
@@ -201,8 +213,9 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
         starts = np.zeros(nb, dtype=np.int64)
         starts[1:] = np.cumsum(np.bincount(d_sorted, minlength=nb))[:-1]
         col = np.arange(len(d_sorted)) - starts[d_sorted]
-        layout = np.full(nb * cap, -1, dtype=np.int32)
-        layout[d_sorted * cap + col] = order
+        # slot-major layout [cap, nb]: slot j of bucket b at j*nb + b
+        layout = np.full(cap * nb, -1, dtype=np.int32)
+        layout[col * nb + d_sorted] = order
         batch_slots.append((w, layout))
 
     windows = [None] * num_windows
@@ -215,7 +228,13 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
         group = max(1, min(len(batch_slots), max_slots // per_window))
         for start in range(0, len(batch_slots), group):
             chunk = batch_slots[start : start + group]
-            big_layout = np.concatenate([l for _, l in chunk])
+            # interleave windows: [G, cap, nb] -> [cap, G, nb] slot-major
+            big_layout = (
+                np.stack([l for _, l in chunk])
+                .reshape(len(chunk), cap, nb)
+                .transpose(1, 0, 2)
+                .ravel()
+            )
             batched = _windows_kernel(
                 points, jnp.asarray(big_layout), len(chunk), c, int(cap)
             )
@@ -260,9 +279,10 @@ def _window_layout_device(d: jnp.ndarray, nb: int, cap: int):
     col = jnp.arange(n, dtype=jnp.int32) - starts[d_sorted]
     valid = keep & (col < cap)
     spill = jnp.sum(keep & ~valid)
-    pos = jnp.where(valid, d_sorted * cap + col, nb * cap)
+    # slot-major layout [cap, nb] (matches _windows_kernel's expectation)
+    pos = jnp.where(valid, col * nb + d_sorted, nb * cap)
     layout = (
-        jnp.full(nb * cap, -1, jnp.int32).at[pos].set(order, mode="drop")
+        jnp.full(cap * nb, -1, jnp.int32).at[pos].set(order, mode="drop")
     )
     return layout, spill
 
@@ -293,9 +313,13 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
     group = max(1, min(num_windows, max_slots // (nb * cap)))
     for start in range(0, num_windows, group):
         chunk = layouts[start : start + group]
-        batched = _windows_kernel(
-            points, jnp.concatenate(chunk), len(chunk), c, int(cap)
+        big = (
+            jnp.stack(chunk)
+            .reshape(len(chunk), cap, nb)
+            .swapaxes(0, 1)
+            .reshape(-1)
         )
+        batched = _windows_kernel(points, big, len(chunk), c, int(cap))
         for j in range(len(chunk)):
             windows[start + j] = tuple(b[j : j + 1] for b in batched)
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))

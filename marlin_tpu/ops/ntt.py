@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import fr
 from .limbs import ints_to_limbs
 

@@ -197,3 +197,168 @@ def add(p, q, interpret: bool = False):
 def double(p, interpret: bool = False):
     """Fused Jacobian doubling over a [.., 24]-layout point tuple."""
     return _double_jit(interpret)(*p)
+
+
+# --------------------------------------------------------------------------
+# bucket fold: the Pippenger inner loop as ONE kernel
+#
+# The bucket matrix holds cap candidate points per bucket; summing the cap
+# slots per bucket is the MSM's dominant work (ops/msm.py).  Folding with
+# per-step XLA/Pallas round trips reads and writes the [lanes] accumulator
+# through HBM cap times; this kernel keeps the accumulator block in VMEM
+# across the whole fold (output-revisiting sequential grid) and only
+# writes it once.
+
+
+def _fold_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, nsteps):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    X, Y, Z = x[:], y[:], z[:]
+
+    @pl.when(j == 0)
+    def _init():
+        ox[:], oy[:], oz[:] = X, Y, Z
+
+    @pl.when(j > 0)
+    def _accum():
+        A, B, C = _jac_add_planes(ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0)
+        ox[:], oy[:], oz[:] = A, B, C
+
+    @pl.when(j == nsteps - 1)
+    def _reduce_rows():
+        # collapse the 8 sublane rows into row 0 (3 roll-halving adds)
+        X3, Y3, Z3 = ox[:], oy[:], oz[:]
+        for s in (4, 2, 1):
+            X3, Y3, Z3 = _jac_add_planes(
+                X3,
+                Y3,
+                Z3,
+                jnp.roll(X3, -s, axis=1),
+                jnp.roll(Y3, -s, axis=1),
+                jnp.roll(Z3, -s, axis=1),
+                n_tuple,
+                np0,
+            )
+        ox[:], oy[:], oz[:] = X3, Y3, Z3
+
+
+@functools.lru_cache(maxsize=None)
+def _build_fold(cap: int, lanes: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    n_tuple, np0 = _fq_consts()
+    L = len(n_tuple)
+    assert cap % _RT == 0 and lanes % LANE == 0
+    nsteps = cap // _RT
+    in_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, j, i))
+    out_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, 0, i))
+    kernel = functools.partial(
+        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, _RT, lanes), jnp.uint32) for _ in range(3)
+        ),
+        grid=(lanes // LANE, nsteps),
+        in_specs=[in_spec] * 3,
+        out_specs=(out_spec,) * 3,
+        interpret=interpret,
+    )
+
+
+def _combine_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, c, max_dbl):
+    """total = Σ_w 2^(c*w) T_w in one kernel: every lane doubles in
+    parallel (lane w needs c*w doublings; masked), then a roll-based
+    lane-tree reduction.  Replaces ~W*(c+1) sequential [1]-point kernel
+    launches (the Horner form) with one launch."""
+    X, Y, Z = x[:], y[:], z[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, X.shape[1:], dimension=1)
+
+    def body(i, pt):
+        X, Y, Z = pt
+        dX, dY, dZ = _jac_double_planes(X, Y, Z, n_tuple, np0)
+        y_zero = core.mm_is_zero(Y) | core.mm_is_zero(Z)
+        dZ = core.mm_select(y_zero, jnp.zeros_like(dZ), dZ)
+        cond = i < lane * c
+        return (
+            core.mm_select(cond, dX, X),
+            core.mm_select(cond, dY, Y),
+            core.mm_select(cond, dZ, Z),
+        )
+
+    X, Y, Z = jax.lax.fori_loop(0, max_dbl, body, (X, Y, Z))
+    for s in (64, 32, 16, 8, 4, 2, 1):
+        X, Y, Z = _jac_add_planes(
+            X,
+            Y,
+            Z,
+            jnp.roll(X, -s, axis=2),
+            jnp.roll(Y, -s, axis=2),
+            jnp.roll(Z, -s, axis=2),
+            n_tuple,
+            np0,
+        )
+    ox[:], oy[:], oz[:] = X, Y, Z
+
+
+@functools.lru_cache(maxsize=None)
+def _build_combine(c: int, num_windows: int, interpret: bool):
+    from jax.experimental import pallas as pl
+
+    n_tuple, np0 = _fq_consts()
+    L = len(n_tuple)
+    kernel = functools.partial(
+        _combine_kernel,
+        n_tuple=n_tuple,
+        np0=np0,
+        c=c,
+        max_dbl=c * (num_windows - 1),
+    )
+    spec = pl.BlockSpec((L, _RT, LANE), lambda: (0, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((L, _RT, LANE), jnp.uint32) for _ in range(3)
+        ),
+        in_specs=[spec] * 3,
+        out_specs=(spec,) * 3,
+        interpret=interpret,
+    )
+
+
+def combine_windows(stacked, c: int, interpret: bool = False):
+    """Σ_w 2^(c*w) T_w over a [W, 1]-batch Point of window sums -> [1]."""
+    W = stacked[0].shape[0]
+    assert W <= LANE, "window count exceeds one lane tile"
+    planes = []
+    for coord in stacked:
+        flat = coord.reshape(W, coord.shape[-1])  # [W, 24]
+        lm = jnp.moveaxis(flat, -1, 0)  # [24, W]
+        lm = jnp.pad(lm, ((0, 0), (0, LANE - W)))[:, None, :]  # [24, 1, 128]
+        planes.append(jnp.pad(lm, ((0, 0), (0, _RT - 1), (0, 0))))
+    out = _build_combine(c, W, interpret)(*planes)
+    return tuple(jnp.moveaxis(o[:, 0, 0:1], 0, -1) for o in out)
+
+
+def bucket_fold(mat, cap: int, interpret: bool = False):
+    """Σ over the cap axis of a [cap, lanes] point batch.
+
+    mat: Point tuple of [cap, lanes, 24] arrays (slot j of bucket lane b at
+    [j, b]); identity slots are all-zero (Z = 0).  Returns a [lanes]-batch
+    Point of bucket sums.  cap must be a multiple of 8; lanes is padded to
+    a whole number of 128-lane tiles internally.
+    """
+    lanes = mat[0].shape[1]
+    pad = -lanes % LANE
+    planes = []
+    for c in mat:
+        lm = jnp.moveaxis(c, -1, 0)  # [24, cap, lanes]
+        if pad:
+            lm = jnp.pad(lm, ((0, 0), (0, 0), (0, pad)))
+        planes.append(lm)
+    call = _build_fold(cap, lanes + pad, interpret)
+    out = call(*planes)
+    # row 0 of the 8-row accumulator holds the fold result
+    return tuple(jnp.moveaxis(o[:, 0, :lanes], 0, -1) for o in out)

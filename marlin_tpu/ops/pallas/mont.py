@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ...fields import bls12_381 as P
+from ...fields import active as P
 from ..limbs import LIMB_BITS, LIMB_MASK, int_to_limbs
 
 L = 16

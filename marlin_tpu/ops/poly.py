@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import fr, ntt
 
 R = P.R_MODULUS

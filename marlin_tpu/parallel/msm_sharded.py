@@ -27,7 +27,9 @@ from ..ops import curve_device as cd
 from ..ops import fr
 from ..ops import msm as msm_mod
 
-FR_BITS = 255
+from ..fields import active as P
+
+FR_BITS = P.FR_BITS
 
 
 def _local_pippenger(px, py, pz, scal, axis: str, c: int):
@@ -50,12 +52,14 @@ def _local_ladder(px, py, pz, scal, axis: str):
     return cd.tree_reduce_add(gathered)
 
 
-def msm_sharded(
+def msm_sharded_core(
     points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x"
-) -> cd.Point:
-    """Σ_i s_i P_i with (points, scalars) sharded over `axis`.
+):
+    """Jittable SPMD body: returns (point, spill_count).
 
-    Result is replicated on every device (shape [1] Jacobian point).
+    `spill` is a replicated int32 scalar (always 0 on the small-n ladder
+    path).  Callers that cannot host-sync (inside jit, or compile-stat
+    probes) use this directly; `msm_sharded` adds the host spill check.
     """
     n = points[0].shape[0]
     n_local = n // mesh.shape[axis]
@@ -68,7 +72,8 @@ def msm_sharded(
             in_specs=(PS(axis, None),) * 4,
             out_specs=(PS(None, None),) * 3,
         )
-        return shard(points[0], points[1], points[2], scalars_mont)
+        pt = shard(points[0], points[1], points[2], scalars_mont)
+        return pt, jnp.int32(0)
 
     c = min(13, max(6, n_local.bit_length() - 6))
     shard = jax.shard_map(
@@ -79,8 +84,19 @@ def msm_sharded(
         out_specs=(PS(None, None),) * 3 + (PS(),),
     )
     x, y, z, spill = shard(points[0], points[1], points[2], scalars_mont)
+    return (x, y, z), spill
+
+
+def msm_sharded(
+    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x"
+) -> cd.Point:
+    """Σ_i s_i P_i with (points, scalars) sharded over `axis`.
+
+    Result is replicated on every device (shape [1] Jacobian point).
+    """
+    pt, spill = msm_sharded_core(points, scalars_mont, mesh, axis)
     if int(jax.device_get(spill)) != 0:
         # exact host-layout single-chip path (NOT msm_mod.msm, which would
         # re-enter this router under an active parallel context)
         return msm_mod.msm_pippenger(points, scalars_mont)
-    return (x, y, z)
+    return pt

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as PS
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..ops import fr, ntt
 from ..ops.limbs import ints_to_limbs
 from ..snark.domains import Radix2Domain

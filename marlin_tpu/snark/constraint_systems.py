@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..ops import fr, ntt
 from .domains import Radix2Domain
 from .r1cs import ConstraintSystem, lc

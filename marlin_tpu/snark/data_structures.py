@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..fields import host_curve as hc
 from ..fields import host_field as hf
 from .indexer import Index, IndexInfo

@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 
 R = P.R_MODULUS
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import native
 
 R = P.R_MODULUS
@@ -110,9 +110,11 @@ class FiatShamirRng:
     def rand_fr(self) -> int:
         """ark-ff UniformRand for Fr: rejection-sample a 255-bit Montgomery
         repr, return the canonical value it represents."""
+        shave = 64 * ((P.FR_BITS + 63) // 64) - P.FR_BITS  # REPR_SHAVE_BITS
+        n_limbs = (P.FR_BITS + 63) // 64
         while True:
-            limbs = [self.rng.next_u64() for _ in range(4)]
-            limbs[3] &= (1 << 63) - 1  # u64::MAX >> REPR_SHAVE_BITS (=1)
+            limbs = [self.rng.next_u64() for _ in range(n_limbs)]
+            limbs[-1] &= (1 << (64 - shave)) - 1  # u64::MAX >> shave
             repr_ = sum(l << (64 * i) for i, l in enumerate(limbs))
             if repr_ < R:
                 return repr_ * _FR_MONT_R_INV % R

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..fields import host_curve as hc
 from ..fields import host_pairing as hp
 from ..ops import curve_device as cd

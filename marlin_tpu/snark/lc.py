@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..ops import fr, poly
 from . import ahp
 from .constraint_systems import format_public_input

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..utils import profiling
 from ..utils.rand import ZkRng
 from . import ahp, kzg, lc as lc_mod, prover as prover_mod, verifier as verifier_mod

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from ..ops import fr, ntt, poly, sparse
 from ..utils.rand import ZkRng
 from . import ahp

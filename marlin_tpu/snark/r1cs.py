@@ -28,7 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from enum import Enum
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 
 R = P.R_MODULUS
 

@@ -16,7 +16,7 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 from . import kzg
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fields import bls12_381 as P
+from ..fields import active as P
 
 R = P.R_MODULUS
 
@@ -23,17 +23,18 @@ class ZkRng:
 
     def rand_fr(self) -> int:
         while True:
-            b = self._gen.bytes(32)
-            v = int.from_bytes(b, "little") & ((1 << 255) - 1)
+            b = self._gen.bytes(P.FR_BYTES)
+            v = int.from_bytes(b, "little") & ((1 << P.FR_BITS) - 1)
             if v < R:
                 return v
 
     def rand_fr_list(self, n: int) -> list[int]:
+        nb = P.FR_BYTES
         out: list[int] = []
         while len(out) < n:
-            chunk = self._gen.bytes(32 * (n - len(out)))
-            for i in range(0, len(chunk), 32):
-                v = int.from_bytes(chunk[i : i + 32], "little") & ((1 << 255) - 1)
+            chunk = self._gen.bytes(nb * (n - len(out)))
+            for i in range(0, len(chunk), nb):
+                v = int.from_bytes(chunk[i : i + nb], "little") & ((1 << P.FR_BITS) - 1)
                 if v < R:
                     out.append(v)
         return out
