@@ -12,7 +12,7 @@ Mirrors the capability surface of `ark-ff` (SURVEY.md §2b row 1).
 
 from __future__ import annotations
 
-from . import bls12_381 as P
+from . import active as P
 
 
 def fr_add(a: int, b: int) -> int:

@@ -22,3 +22,68 @@ def test_pallas_mont_mul_matches_host():
     import jax.numpy as jnp
 
     assert jnp.array_equal(out, fr.mul(X, Y))
+
+
+def test_pallas_curve_add_double_match_xla():
+    from marlin_tpu.fields import host_curve as hc
+    from marlin_tpu.ops import curve_device as cd
+    from marlin_tpu.ops.pallas import curve as pcurve
+
+    rng = random.Random(13)
+    n = 8
+    pts_a = [hc.g1_mul(hc.G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    pts_b = [hc.g1_mul(hc.G1_GEN, rng.randrange(1, R)) for _ in range(n)]
+    A = cd.from_affine_ints(pts_a)
+    B = cd.from_affine_ints(pts_b)
+    got = pcurve.add(A, B, interpret=True)
+    want = cd._add_xla(A, B)
+    assert cd.to_affine_ints(got) == cd.to_affine_ints(want)
+    gd = pcurve.double(A, interpret=True)
+    wd = cd._double_xla(A)
+    assert cd.to_affine_ints(gd) == cd.to_affine_ints(wd)
+
+
+def test_pallas_bucket_fold_matches_sum():
+    import jax.numpy as jnp
+
+    from marlin_tpu.fields import host_curve as hc
+    from marlin_tpu.ops import curve_device as cd
+    from marlin_tpu.ops.pallas import curve as pcurve
+
+    rng = random.Random(17)
+    cap, lanes = 8, 128
+    affs = [hc.g1_mul(hc.G1_GEN, rng.randrange(1, R)) for _ in range(cap)]
+    # lane 0: all cap points; lane 1: first point only; others: identity
+    mat = cd.identity((cap, lanes))
+    col = cd.from_affine_ints(affs)
+    mat = tuple(m.at[:, 0].set(col[i]) for i, m in enumerate(mat))
+    one = cd.from_affine_ints(affs[:1])
+    mat = tuple(m.at[0, 1].set(one[i][0]) for i, m in enumerate(mat))
+    out = pcurve.bucket_fold(mat, cap, interpret=True)
+    res = cd.to_affine_ints(out)
+    acc = affs[0]
+    for a in affs[1:]:
+        acc = hc.g1_add(acc, a)
+    assert res[0] == acc
+    assert res[1] == affs[0]
+    assert res[2] is None  # identity lane
+
+
+def test_pallas_combine_windows_matches_xla():
+    import jax.numpy as jnp
+
+    from marlin_tpu.fields import host_curve as hc
+    from marlin_tpu.ops import curve_device as cd
+    from marlin_tpu.ops.pallas import curve as pcurve
+
+    rng = random.Random(19)
+    c, W = 4, 6
+    ints = [rng.randrange(1, R) for _ in range(W)]
+    affs = [hc.g1_mul(hc.G1_GEN, s) for s in ints]
+    stacked = tuple(
+        jnp.stack([cd.from_affine_ints([a])[i] for a in affs])
+        for i in range(3)
+    )
+    got = cd.to_affine_ints(pcurve.combine_windows(stacked, c, interpret=True))[0]
+    want_scalar = sum(s * (1 << (c * w)) for w, s in enumerate(ints))
+    assert got == hc.g1_mul(hc.G1_GEN, want_scalar % R)
