@@ -26,8 +26,15 @@ R = P.R_MODULUS
 
 
 @functools.lru_cache(maxsize=None)
-def _plan(n: int, inverse: bool):
-    """(bitrev permutation [n], per-stage twiddles tuple) — host precompute."""
+def _plan(n: int, inverse: bool, root: int | None = None):
+    """(bitrev permutation [n], per-stage twiddles tuple) — host precompute.
+
+    `root` overrides the canonical 2-adic generator (the mixed-radix
+    decomposition runs its radix-2 inner transforms with ω^{n1}, which is a
+    different primitive 2^k-th root than Radix2Domain's); the butterfly
+    network is root-agnostic.  When `root` is given it must already be
+    inverted for inverse transforms.
+    """
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     # bit-reversal permutation
@@ -37,10 +44,13 @@ def _plan(n: int, inverse: bool):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
     # stage twiddles: stage s operates on half-blocks of m = 2^s,
     # twiddle w_{2m}^j for j < m, w_{2m} = g^(n / 2m)
-    from ..snark.domains import Radix2Domain
+    if root is None:
+        from ..snark.domains import Radix2Domain
 
-    dom = Radix2Domain(n)
-    g = dom.group_gen_inv if inverse else dom.group_gen
+        dom = Radix2Domain(n)
+        g = dom.group_gen_inv if inverse else dom.group_gen
+    else:
+        g = root
     stages = []
     for s in range(log_n):
         m = 1 << s
@@ -51,6 +61,34 @@ def _plan(n: int, inverse: bool):
         mont = [t * P.FR_MONT_R % R for t in tw]
         stages.append(ints_to_limbs(mont, fr.L))
     return rev, tuple(stages)
+
+
+@functools.lru_cache(maxsize=None)
+def _mixed_plan(n: int, inverse: bool):
+    """Host precompute for the Cooley-Tukey n = n1 * n2 decomposition
+    (n1 = base^s small-DFT part, n2 = 2^k butterfly part):
+    (n1, n2, radix-2 plan for n2 with root ω^{n1},
+     twiddle matrix W[j1, k2] = ω^{j1 k2},
+     small-DFT matrix M[k1, j1] = (ω^{n2})^{j1 k1})."""
+    from ..snark.domains import MixedRadixDomain, factor_size
+
+    two, base, exp = factor_size(n)
+    n1, n2 = base**exp, 1 << two
+    assert n1 > 1, "mixed plan requires a small-subgroup factor"
+    dom = MixedRadixDomain(n)
+    w = dom.group_gen_inv if inverse else dom.group_gen
+    rev, stages = (np.zeros(1, np.int32), ()) if n2 == 1 else _plan(
+        n2, inverse, root=pow(w, n1, R)
+    )
+    mont = lambda v: v * P.FR_MONT_R % R
+    W = ints_to_limbs(
+        [mont(pow(w, j1 * k2, R)) for j1 in range(n1) for k2 in range(n2)], fr.L
+    ).reshape(n1, n2, fr.L)
+    wn2 = pow(w, n2, R)
+    M = ints_to_limbs(
+        [mont(pow(wn2, j1 * k1, R)) for k1 in range(n1) for j1 in range(n1)], fr.L
+    ).reshape(n1, n1, fr.L)
+    return n1, n2, rev, stages, W, M
 
 
 def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, stages) -> jnp.ndarray:
@@ -70,6 +108,49 @@ def _ntt_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[0]
     rev, stages = _plan(n, inverse)
     out = _ntt_core(x, jnp.asarray(rev), [jnp.asarray(s) for s in stages])
+    if inverse:
+        n_inv = fr.from_int(pow(n, -1, R))
+        out = fr.mul(out, n_inv[None, :])
+    return out
+
+
+def _ntt_mixed_core(x, rev, stages, W, M, n1: int, n2: int) -> jnp.ndarray:
+    """Cooley-Tukey: input split j = j1 + n1*j2, output k = k1*n2 + k2.
+
+    Inner: n1 batched radix-2 NTTs of size n2 (root ω^{n1}); twiddle by
+    W[j1, k2]; outer: direct small DFT over j1 (n1 = base^s <= 9, so the
+    matrix product is a handful of batched field mul-adds — VPU-friendly,
+    no scalar loops)."""
+    n = n1 * n2
+    x = x.reshape(n2, n1, fr.L).swapaxes(0, 1)  # [n1, n2, L]: [j1, j2]
+    x = x[:, rev, :]
+    for tw in stages:
+        m = tw.shape[0]
+        x = x.reshape(n1, n2 // (2 * m), 2, m, fr.L)
+        e, o = x[:, :, 0], x[:, :, 1]
+        t = fr.mul(o, tw[None, None])
+        x = jnp.stack([fr.add(e, t), fr.sub(e, t)], axis=2)
+    x = x.reshape(n1, n2, fr.L)
+    x = fr.mul(x, W)
+    acc = fr.mul(x[0][None], M[:, 0][:, None])  # [n1(k1), n2, L]
+    for j1 in range(1, n1):
+        acc = fr.add(acc, fr.mul(x[j1][None], M[:, j1][:, None]))
+    return acc.reshape(n, fr.L)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ntt_mixed_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    n = x.shape[0]
+    n1, n2, rev, stages, W, M = _mixed_plan(n, inverse)
+    out = _ntt_mixed_core(
+        x,
+        jnp.asarray(rev),
+        [jnp.asarray(s) for s in stages],
+        jnp.asarray(W),
+        jnp.asarray(M),
+        n1,
+        n2,
+    )
     if inverse:
         n_inv = fr.from_int(pow(n, -1, R))
         out = fr.mul(out, n_inv[None, :])
@@ -104,11 +185,17 @@ def ntt(coeffs: jnp.ndarray, n: int | None = None) -> jnp.ndarray:
     """
     ln = coeffs.shape[0]
     if n is None:
-        n = 1 << max(0, (ln - 1)).bit_length()
+        from ..snark.domains import compute_size_of_domain
+
+        n = compute_size_of_domain(max(1, ln))
+        if n is None:
+            raise ValueError(f"no evaluation domain of size >= {ln}")
     if ln < n:
         coeffs = jnp.pad(coeffs, ((0, n - ln), (0, 0)))
     elif ln > n:
         raise ValueError(f"poly of length {ln} does not fit domain of size {n}")
+    if n & (n - 1):
+        return _ntt_mixed_jit(coeffs, False)
     out = _sharded_or_none(coeffs, False)
     return out if out is not None else _ntt_jit(coeffs, False)
 
@@ -120,7 +207,8 @@ def intt(evals: jnp.ndarray) -> jnp.ndarray:
     src/ahp/constraint_systems.rs:234-239 and throughout the prover).
     """
     n = evals.shape[0]
-    assert n & (n - 1) == 0, "evaluation vector must have power-of-two length"
+    if n & (n - 1):
+        return _ntt_mixed_jit(evals, True)
     out = _sharded_or_none(evals, True)
     return out if out is not None else _ntt_jit(evals, True)
 
@@ -128,9 +216,9 @@ def intt(evals: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def domain_elements(n: int) -> jnp.ndarray:
     """[n, 16] device array of [1, g, g^2, ...] in Montgomery form (cached)."""
-    from ..snark.domains import Radix2Domain
+    from ..snark.domains import domain_of_size
 
-    dom = Radix2Domain(n)
+    dom = domain_of_size(n)
     elems = dom.elements()
     return jnp.asarray(ints_to_limbs([e * P.FR_MONT_R % R for e in elems], fr.L))
 

@@ -45,7 +45,15 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Polynomial product via NTT (ark-poly's `&a * &b`, e.g. z_a * z_b at
     reference src/ahp/prover.rs:467)."""
     out_len = a.shape[0] + b.shape[0] - 1
-    n = 1 << max(0, (out_len - 1)).bit_length()
+    from ..snark.domains import compute_size_of_domain
+
+    n = compute_size_of_domain(max(1, out_len))
+    if n is None:
+        # ark-poly panics the same way: the field's subgroup structure
+        # cannot host an evaluation domain for this product degree
+        raise ValueError(
+            f"no evaluation domain of size >= {out_len} is constructible"
+        )
     ea = ntt.ntt(a, n)
     eb = ntt.ntt(b, n)
     return ntt.intt(fr.mul(ea, eb))[:out_len]

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..fields import active as P
 from ..ops import fr, ntt
-from .domains import Radix2Domain
+from .domains import Radix2Domain, new_domain
 from .r1cs import ConstraintSystem, lc
 
 R = P.R_MODULUS
@@ -41,7 +41,7 @@ def pad_input_for_indexer_and_prover(cs: ConstraintSystem) -> None:
     """Grow the formatted input to the next power of two with zero inputs
     (reference :45-58)."""
     formatted = cs.num_instance_variables
-    padded = Radix2Domain.new(formatted).size
+    padded = new_domain(formatted).size
     for _ in range(padded - formatted):
         cs.new_input_variable((lambda: 0) if not cs.is_setup else None)
 

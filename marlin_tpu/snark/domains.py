@@ -1,23 +1,35 @@
-"""Radix-2 multiplicative evaluation domains over Fr.
+"""Multiplicative evaluation domains over Fr (radix-2 and mixed-radix).
 
-Host-side mirror of `ark-poly`'s `GeneralEvaluationDomain` (radix-2 branch)
-— the slice the reference pins (SURVEY.md §1 row 7): size computation,
-generator powers, vanishing-polynomial evaluation, and the protocol-critical
+Host-side mirror of `ark-poly`'s `GeneralEvaluationDomain` — the slice the
+reference pins (SURVEY.md §1 row 7): size computation, generator powers,
+vanishing-polynomial evaluation, and the protocol-critical
 `reindex_by_subdomain` interleaving (reference src/ahp/prover.rs:329-348,
 src/ahp/constraint_systems.rs:180).
 
-The heavy per-element work (NTT, batched Lagrange/bivariate evals) lives on
-device in ops/ntt.py and ops/domain_kernels.py; this class only holds the
-scalar metadata those kernels are parameterized by.
+Domain selection follows ark-poly's GeneralEvaluationDomain::new: radix-2
+(size = next power of two) when the field's usable 2-adicity covers it,
+otherwise the **mixed-radix** fallback — sizes of the form
+``base^s * 2^k`` drawn from the field's small-subgroup structure
+(FR_SMALL_SUBGROUP_BASE/ADICITY in the curve config).  BLS12-381's Fr
+(2-adicity 32) never leaves the radix-2 branch; BN254's Fr carries a
+2^28 * 3^2 subgroup, so its mixed branch is real and tested.  The MNT*-753
+configs the reference benches (benches/bench.rs:161-175) would plug into
+the same machinery with base 5.
 
-The MixedRadix fallback for low-2-adicity fields (MNT4/6-753) is not
-implemented; BLS12-381's Fr (2-adicity 32) covers every power-of-2 domain
-the protocol can request.
+``MARLIN_TPU_FR_TWO_ADICITY_CAP`` (env, test affordance) lowers the usable
+2-adicity so the mixed-radix path can be exercised end-to-end at small
+sizes, the way a genuinely low-2-adicity field (MNT4-753: 2-adicity 15)
+would force it at 2^16.
+
+The heavy per-element work (NTT, batched Lagrange/bivariate evals) lives on
+device in ops/ntt.py; these classes hold the scalar metadata those kernels
+are parameterized by.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 from ..fields import active as P
@@ -25,40 +37,66 @@ from ..fields import active as P
 R = P.R_MODULUS
 
 
-def compute_size_of_domain(num_coeffs: int) -> int | None:
-    """Next power of two, if representable in the 2-adic subgroup.
+def _usable_two_adicity() -> int:
+    cap = os.environ.get("MARLIN_TPU_FR_TWO_ADICITY_CAP")
+    if cap is not None:
+        return min(int(cap), P.FR_TWO_ADICITY)
+    return P.FR_TWO_ADICITY
 
-    Mirrors GeneralEvaluationDomain::compute_size_of_domain
-    (used at reference src/ahp/mod.rs:79-82,100-101).
-    """
+
+def _radix2_size(num_coeffs: int) -> int | None:
     size = max(1, num_coeffs)
     size = 1 << (size - 1).bit_length()
-    if size.bit_length() - 1 > P.FR_TWO_ADICITY:
+    if size.bit_length() - 1 > _usable_two_adicity():
         return None
     return size
 
 
-@dataclass(frozen=True)
-class Radix2Domain:
-    """Multiplicative subgroup of Fr of power-of-two order."""
+def _mixed_size(num_coeffs: int) -> int | None:
+    """Smallest base^s * 2^k >= num_coeffs within the field's subgroup
+    structure (ark-poly MixedRadixEvaluationDomain::compute_size_of_domain)."""
+    base = getattr(P, "FR_SMALL_SUBGROUP_BASE", None)
+    if not base:
+        return None
+    best = None
+    q_pow = 1
+    for _ in range(getattr(P, "FR_SMALL_SUBGROUP_ADICITY", 0) + 1):
+        for k in range(_usable_two_adicity() + 1):
+            size = q_pow << k
+            if size >= num_coeffs and (best is None or size < best):
+                best = size
+        q_pow *= base
+    return best
+
+
+def compute_size_of_domain(num_coeffs: int) -> int | None:
+    """Constructible domain size >= num_coeffs (radix-2 preferred, mixed
+    fallback) — GeneralEvaluationDomain::compute_size_of_domain semantics
+    (used at reference src/ahp/mod.rs:79-82,100-101)."""
+    size = _radix2_size(num_coeffs)
+    if size is not None:
+        return size
+    return _mixed_size(num_coeffs)
+
+
+def factor_size(size: int) -> tuple[int, int, int]:
+    """(two_exp, base, base_exp) with size = 2^two_exp * base^base_exp."""
+    two = (size & -size).bit_length() - 1
+    odd = size >> two
+    base = getattr(P, "FR_SMALL_SUBGROUP_BASE", None) or 1
+    exp = 0
+    while base > 1 and odd % base == 0:
+        odd //= base
+        exp += 1
+    if odd != 1:
+        raise ValueError(f"domain size {size} is not 2^k * {base}^s")
+    return two, base, exp
+
+
+class _DomainBase:
+    """Shared scalar machinery; subclasses supply `group_gen`."""
 
     size: int
-
-    @staticmethod
-    def new(num_coeffs: int) -> "Radix2Domain":
-        size = compute_size_of_domain(num_coeffs)
-        if size is None:
-            raise ValueError(f"domain of size {num_coeffs} not constructible")
-        return Radix2Domain(size)
-
-    @property
-    def log_size(self) -> int:
-        return self.size.bit_length() - 1
-
-    @functools.cached_property
-    def group_gen(self) -> int:
-        # TWO_ADIC_ROOT ^ (2^(adicity - log_size)); same element arkworks uses.
-        return pow(P.FR_TWO_ADIC_ROOT_OF_UNITY, 1 << (P.FR_TWO_ADICITY - self.log_size), R)
 
     @functools.cached_property
     def group_gen_inv(self) -> int:
@@ -119,7 +157,7 @@ class Radix2Domain:
             g_i = g_i * self.group_gen % R
         return out
 
-    def reindex_by_subdomain(self, other: "Radix2Domain", index: int) -> int:
+    def reindex_by_subdomain(self, other: "_DomainBase", index: int) -> int:
         """Position of `other`'s element `index` inside `self`'s ordering.
 
         `other` (size m) embeds in `self` (size n) at stride n/m; remaining
@@ -127,7 +165,7 @@ class Radix2Domain:
         protocol-critical for the w/x packing — reference
         src/ahp/prover.rs:340-348 and ark-poly's reindex_by_subdomain.
         """
-        assert self.size >= other.size
+        assert self.size >= other.size and self.size % other.size == 0
         period = self.size // other.size
         if index < other.size:
             return index * period
@@ -140,3 +178,64 @@ class Radix2Domain:
         while self.evaluate_vanishing_polynomial(t) == 0:
             t = rand_fr()
         return t
+
+
+@dataclass(frozen=True)
+class Radix2Domain(_DomainBase):
+    """Multiplicative subgroup of Fr of power-of-two order."""
+
+    size: int
+
+    @staticmethod
+    def new(num_coeffs: int) -> "Radix2Domain":
+        size = _radix2_size(num_coeffs)
+        if size is None:
+            raise ValueError(f"radix-2 domain of size {num_coeffs} not constructible")
+        return Radix2Domain(size)
+
+    @property
+    def log_size(self) -> int:
+        return self.size.bit_length() - 1
+
+    @functools.cached_property
+    def group_gen(self) -> int:
+        # TWO_ADIC_ROOT ^ (2^(adicity - log_size)); same element arkworks uses.
+        return pow(P.FR_TWO_ADIC_ROOT_OF_UNITY, 1 << (P.FR_TWO_ADICITY - self.log_size), R)
+
+
+@dataclass(frozen=True)
+class MixedRadixDomain(_DomainBase):
+    """Subgroup of order base^s * 2^k (ark-poly MixedRadixEvaluationDomain)."""
+
+    size: int
+
+    @staticmethod
+    def new(num_coeffs: int) -> "MixedRadixDomain":
+        size = _mixed_size(num_coeffs)
+        if size is None:
+            raise ValueError(f"mixed-radix domain of size {num_coeffs} not constructible")
+        return MixedRadixDomain(size)
+
+    @functools.cached_property
+    def group_gen(self) -> int:
+        two, base, exp = factor_size(self.size)
+        if exp == 0:
+            return Radix2Domain(self.size).group_gen
+        full_order = (1 << P.FR_TWO_ADICITY) * base**P.FR_SMALL_SUBGROUP_ADICITY
+        g = pow(P.FR_LARGE_SUBGROUP_ROOT_OF_UNITY, full_order // self.size, R)
+        assert pow(g, self.size, R) == 1 and pow(g, self.size // 2, R) != 1
+        return g
+
+
+def new_domain(num_coeffs: int) -> _DomainBase:
+    """GeneralEvaluationDomain::new: radix-2 if representable, else mixed."""
+    if _radix2_size(num_coeffs) is not None:
+        return Radix2Domain.new(num_coeffs)
+    return MixedRadixDomain.new(num_coeffs)
+
+
+def domain_of_size(size: int) -> _DomainBase:
+    """Reconstruct a domain object from an exact (already-valid) size."""
+    if size & (size - 1) == 0 and size.bit_length() - 1 <= P.FR_TWO_ADICITY:
+        return Radix2Domain(size)
+    return MixedRadixDomain(size)

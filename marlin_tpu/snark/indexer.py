@@ -23,7 +23,7 @@ from .constraint_systems import (
     pad_input_for_indexer_and_prover,
     sum_matrices,
 )
-from .domains import Radix2Domain
+from .domains import Radix2Domain, new_domain
 from .r1cs import ConstraintSystem, OptimizationGoal, SynthesisMode
 
 
@@ -103,9 +103,9 @@ def index_circuit(circuit) -> Index:
         num_instance_variables=num_formatted_inputs,
     )
 
-    domain_h = Radix2Domain.new(num_constraints)
-    domain_k = Radix2Domain.new(nnz)
-    domain_x = Radix2Domain.new(num_formatted_inputs)
+    domain_h = new_domain(num_constraints)
+    domain_k = new_domain(nnz)
+    domain_x = new_domain(num_formatted_inputs)
 
     joint_arith = arithmetize_matrix(joint, a_rows, b_rows, c_rows, domain_k, domain_h, domain_x)
 

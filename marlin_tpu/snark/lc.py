@@ -16,7 +16,7 @@ from ..fields import active as P
 from ..ops import fr, poly
 from . import ahp
 from .constraint_systems import format_public_input
-from .domains import Radix2Domain
+from .domains import new_domain
 
 R = P.R_MODULUS
 
@@ -94,7 +94,7 @@ def construct_linear_combinations(public_input, evals, state) -> list[LinearComb
     formatted = format_public_input(public_input)
     if not ahp.num_formatted_inputs_is_admissible(len(formatted)):
         raise LcError("invalid public input length")
-    x_domain = Radix2Domain.new(len(formatted))
+    x_domain = new_domain(len(formatted))
 
     fm = state.first_round_msg
     alpha, eta_a, eta_b, eta_c = fm.alpha, fm.eta_a, fm.eta_b, fm.eta_c

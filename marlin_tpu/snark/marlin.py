@@ -21,7 +21,7 @@ from .data_structures import (
     commitment_to_bytes,
     field_vec_to_bytes,
 )
-from .domains import Radix2Domain
+from .domains import Radix2Domain, new_domain
 from .fs import FiatShamirRng
 from .indexer import index_circuit
 from .prover import LabeledPoly
@@ -276,7 +276,7 @@ class Marlin:
                 return False
 
             # re-pad the input like the prover's formatted input (lib.rs:323-333)
-            domain_x = Radix2Domain.new(len(public_input) + 1)
+            domain_x = new_domain(len(public_input) + 1)
             padded_input = list(public_input) + [0] * (
                 max(len(public_input), domain_x.size - 1) - len(public_input)
             )

@@ -314,7 +314,14 @@ def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
     mask_len = state.mask_poly.coeffs.shape[0]
     za_len = state.z_a_poly.coeffs.shape[0]
     mul_size = max(mask_len, h + 2 * za_len - 1, 2 * h + x_size + 2)
-    n_mul = 1 << (mul_size - 1).bit_length()
+    # GeneralEvaluationDomain::new over the operand-degree sum
+    # (reference src/ahp/prover.rs:522-531): power of two when the field's
+    # 2-adicity allows, mixed-radix fallback otherwise
+    from .domains import compute_size_of_domain
+
+    n_mul = compute_size_of_domain(mul_size)
+    if n_mul is None:
+        raise ValueError(f"no evaluation domain of size >= {mul_size}")
 
     mat_rows = jnp.concatenate([ix.a.rows, ix.b.rows, ix.c.rows])
     mat_cols = jnp.concatenate(
@@ -346,6 +353,13 @@ def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
         x_size=x_size,
         n_mul=n_mul,
     )
+
+    # q_1's analytic degree is <= mul_size - 1; the mul domain may be
+    # (much) larger — mixed-radix rounding can overshoot by more than the
+    # radix-2 2x — so drop the provably-zero tail to keep h_1 at its exact
+    # ark degree (<= mul_size - 1 - h) for the commitment-degree checks.
+    if h_1.shape[0] > mul_size - h:
+        h_1 = h_1[: mul_size - h]
 
     if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":
         # reference prover.rs:516,556-557

@@ -272,7 +272,7 @@ def load_index_pk(path: str, srs: kzg.UniversalParams | None = None):
     from . import sonic as sonic_mod
     from .constraint_systems import MatrixArithmetization, MatrixEvals
     from .data_structures import IndexProverKey, IndexVerifierKey
-    from .domains import Radix2Domain
+    from .domains import domain_of_size
     from .indexer import Index, IndexInfo
 
     with np.load(path, allow_pickle=False) as z:
@@ -333,9 +333,9 @@ def load_index_pk(path: str, srs: kzg.UniversalParams | None = None):
         b=mats["b"],
         c=mats["c"],
         joint_arith=ja,
-        domain_h=Radix2Domain(int(meta["domains"]["h"])),
-        domain_k=Radix2Domain(int(meta["domains"]["k"])),
-        domain_x=Radix2Domain(int(meta["domains"]["x"])),
+        domain_h=domain_of_size(int(meta["domains"]["h"])),
+        domain_k=domain_of_size(int(meta["domains"]["k"])),
+        domain_x=domain_of_size(int(meta["domains"]["x"])),
     )
     ck_meta = meta["ck"]
     ck_cls = sonic_mod.SonicCommitterKey if ck_meta["flavor"] == "sonic" else kzg.CommitterKey

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .domains import Radix2Domain
+from .domains import Radix2Domain, new_domain
 from .fs import FiatShamirRng
 from .indexer import IndexInfo
 
@@ -44,8 +44,8 @@ def verifier_first_round(index_info: IndexInfo, fs: FiatShamirRng):
     """alpha (outside H), eta_a, eta_b, eta_c (reference verifier.rs:44-79)."""
     if index_info.num_constraints != index_info.num_variables:
         raise VerifierError("non-square constraint matrices")
-    domain_h = Radix2Domain.new(index_info.num_constraints)
-    domain_k = Radix2Domain.new(index_info.num_non_zero)
+    domain_h = new_domain(index_info.num_constraints)
+    domain_k = new_domain(index_info.num_non_zero)
 
     alpha = domain_h.sample_element_outside_domain(fs.rand_fr)
     eta_a = fs.rand_fr()

@@ -5,7 +5,7 @@ src/test.rs:52-114 (range check via bucket LCs, exercising Weight-goal
 outlining); `DummyCircuit` is benches/bench.rs:25-67.
 """
 
-from marlin_tpu.fields import bls12_381 as P
+from marlin_tpu.fields import active as P
 from marlin_tpu.snark.r1cs import VAR_ONE, lc
 
 R = P.R_MODULUS
