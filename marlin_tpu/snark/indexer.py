@@ -27,8 +27,11 @@ from .domains import Radix2Domain, new_domain
 from .r1cs import ConstraintSystem, OptimizationGoal, SynthesisMode
 
 
-class IndexingError(Exception):
-    pass
+from .errors import AHPError
+
+
+class IndexingError(AHPError):
+    """AHP indexing failure (reference ahp/mod.rs:269-287 arms)."""
 
 
 @dataclass(frozen=True)

@@ -38,8 +38,11 @@ from .lc import ONE_TERM, LinearCombination
 R = P.R_MODULUS
 
 
-class PCError(Exception):
-    pass
+from .errors import PolynomialCommitmentError
+
+
+class PCError(PolynomialCommitmentError):
+    """KZG/commitment failure (Error::PolynomialCommitmentError arm)."""
 
 
 # --------------------------------------------------------------------------

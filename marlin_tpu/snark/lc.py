@@ -38,8 +38,11 @@ class LinearCombination:
         return [t for _, t in self.terms if t is not ONE_TERM]
 
 
-class LcError(Exception):
-    pass
+from .errors import AHPError
+
+
+class LcError(AHPError):
+    """Linear-combination evaluation failure (MissingEval analog)."""
 
 
 class PolyEvaluationsProvider:

@@ -31,8 +31,8 @@ R = P.R_MODULUS
 PROTOCOL_NAME = b"MARLIN-2019"  # reference src/lib.rs:75
 
 
-class MarlinError(Exception):
-    pass
+from .errors import IndexTooLargeError
+from .errors import MarlinError  # root of the Error<E> hierarchy (errors.py)
 
 
 def _prefetch_evaluations(provider, polys, plan) -> None:
@@ -82,7 +82,7 @@ class Marlin:
         with profiling.span("Marlin::Index"):
             index = index_circuit(circuit)
             if srs.max_degree() < index.max_degree():
-                raise MarlinError("IndexTooLarge: circuit needs a larger SRS")
+                raise IndexTooLargeError("IndexTooLarge: circuit needs a larger SRS")
 
             coeff_support = ahp.get_degree_bounds(index.index_info)
             supported_hiding_bound = 1  # reference src/lib.rs:114

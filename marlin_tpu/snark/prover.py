@@ -39,8 +39,11 @@ from .r1cs import ConstraintSystem, OptimizationGoal, SynthesisMode
 R = P.R_MODULUS
 
 
-class ProvingError(Exception):
-    pass
+from .errors import AHPError
+
+
+class ProvingError(AHPError):
+    """AHP prover failure."""
 
 
 def _round_jit(**jit_kwargs):

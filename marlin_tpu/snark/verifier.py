@@ -14,8 +14,11 @@ from .fs import FiatShamirRng
 from .indexer import IndexInfo
 
 
-class VerifierError(Exception):
-    pass
+from .errors import AHPError
+
+
+class VerifierError(AHPError):
+    """AHP verifier failure."""
 
 
 @dataclass
