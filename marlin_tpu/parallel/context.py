@@ -28,11 +28,15 @@ MSM_MIN_SHARDED = 1 << 12
 @dataclass(frozen=True)
 class ParallelContext:
     mesh: Mesh
-    axis: str = "x"
+    # a single mesh-axis name, or a tuple of names treated as one flattened
+    # data axis (the (dcn, ici) two-level topology — parallel/multihost.py)
+    axis: str | tuple = "x"
 
     @property
     def num_devices(self) -> int:
-        return self.mesh.shape[self.axis]
+        from .multihost import axis_size
+
+        return axis_size(self.mesh, self.axis)
 
 
 _current: ParallelContext | None = None
@@ -43,7 +47,7 @@ def current() -> ParallelContext | None:
 
 
 @contextmanager
-def use_mesh(mesh: Mesh, axis: str = "x"):
+def use_mesh(mesh: Mesh, axis: str | tuple = "x"):
     """Run the enclosed block with sharded NTT/MSM kernels over `mesh`."""
     global _current
     prev = _current

@@ -32,7 +32,7 @@ from ..fields import active as P
 FR_BITS = P.FR_BITS
 
 
-def _local_pippenger(px, py, pz, scal, axis: str, c: int):
+def _local_pippenger(px, py, pz, scal, axis, c: int):
     canonical = bi.from_mont(fr.CTX, scal)
     part, spill = msm_mod.pippenger_device((px, py, pz), canonical, c)
     gathered = tuple(
@@ -42,7 +42,7 @@ def _local_pippenger(px, py, pz, scal, axis: str, c: int):
     return total + (jax.lax.psum(spill, axis),)
 
 
-def _local_ladder(px, py, pz, scal, axis: str):
+def _local_ladder(px, py, pz, scal, axis):
     canonical = bi.from_mont(fr.CTX, scal)
     part = cd.scalar_mul_batch((px, py, pz), canonical, FR_BITS)
     part = cd.tree_reduce_add(part)
@@ -53,16 +53,20 @@ def _local_ladder(px, py, pz, scal, axis: str):
 
 
 def msm_sharded_core(
-    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x"
+    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis="x"
 ):
     """Jittable SPMD body: returns (point, spill_count).
 
     `spill` is a replicated int32 scalar (always 0 on the small-n ladder
     path).  Callers that cannot host-sync (inside jit, or compile-stat
     probes) use this directly; `msm_sharded` adds the host spill check.
+    `axis` may be a tuple of mesh-axis names flattened into one data axis
+    (the (dcn, ici) topology — parallel/multihost.py).
     """
+    from .multihost import axis_size
+
     n = points[0].shape[0]
-    n_local = n // mesh.shape[axis]
+    n_local = n // axis_size(mesh, axis)
 
     if n_local < msm_mod._PIPPENGER_MIN:
         shard = jax.shard_map(
@@ -88,7 +92,7 @@ def msm_sharded_core(
 
 
 def msm_sharded(
-    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis: str = "x"
+    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis="x"
 ) -> cd.Point:
     """Σ_i s_i P_i with (points, scalars) sharded over `axis`.
 

@@ -54,15 +54,20 @@ def _local_ntt_rows(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return jax.vmap(lambda v: ntt._ntt_jit(v, inverse))(x)
 
 
-def ntt_4step(coeffs: jnp.ndarray, mesh: Mesh, axis: str = "x", inverse: bool = False):
+def ntt_4step(coeffs: jnp.ndarray, mesh: Mesh, axis="x", inverse: bool = False):
     """Distributed NTT of a [n, 16] vector sharded over `axis`.
 
-    Returns evaluations in natural order, sharded over the second
-    decomposition axis.  n must split as n1*n2 with n1 % D == 0 and
-    n2 % D == 0 (D = mesh axis size).
+    `axis` may be one mesh-axis name or a tuple of names treated as one
+    flattened data axis (the (dcn, ici) topology — parallel/multihost.py);
+    the all_to_all then rides ICI for the intra-slice portion and DCN only
+    for the cross-host residual.  Returns evaluations in natural order,
+    sharded over the second decomposition axis.  n must split as n1*n2
+    with n1 % D == 0 and n2 % D == 0 (D = total data-axis size).
     """
+    from .multihost import axis_size
+
     n = coeffs.shape[0]
-    d = mesh.shape[axis]
+    d = axis_size(mesh, axis)
     log_n = n.bit_length() - 1
     n1 = 1 << (log_n // 2)
     n2 = n // n1
