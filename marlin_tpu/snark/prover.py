@@ -357,11 +357,14 @@ def prover_second_round(ver_msg, state: ProverState, zk_rng: ZkRng):
         n_mul=n_mul,
     )
 
-    # q_1's analytic degree is <= mul_size - 1; the mul domain may be
-    # (much) larger — mixed-radix rounding can overshoot by more than the
-    # radix-2 2x — so drop the provably-zero tail to keep h_1 at its exact
-    # ark degree (<= mul_size - 1 - h) for the commitment-degree checks.
-    if h_1.shape[0] > mul_size - h:
+    # q_1's analytic degree is <= mul_size - 1; a mixed-radix mul domain
+    # can overshoot it by more than the radix-2 2x, pushing h_1's padded
+    # length past the SRS bound — drop the provably-zero tail there to
+    # keep h_1 at its exact ark degree (<= mul_size - 1 - h).  Power-of-two
+    # domains keep their historical padded shape: it already fits the
+    # commit bound, and shape stability is what keeps the TPU kernel
+    # cache valid across runs.
+    if n_mul & (n_mul - 1) and h_1.shape[0] > mul_size - h:
         h_1 = h_1[: mul_size - h]
 
     if os.environ.get("MARLIN_TPU_DEBUG_CHECKS") == "1":

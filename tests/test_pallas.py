@@ -1,6 +1,14 @@
-"""Pallas kernel tests (interpreter mode on the CPU mesh)."""
+"""Pallas kernel tests (interpreter mode on the CPU mesh).
+
+The curve-kernel tests are `slow`: interpreter-mode compilation of the
+fused Jacobian kernels takes tens of minutes on CPU (the same graphs take
+250-500 s on the TPU toolchain); the fast signal for these kernels is the
+staged on-device validation plus the XLA-path curve tests.
+"""
 
 import random
+
+import pytest
 
 from marlin_tpu.fields import bls12_381 as P
 from marlin_tpu.ops import fr
@@ -24,6 +32,7 @@ def test_pallas_mont_mul_matches_host():
     assert jnp.array_equal(out, fr.mul(X, Y))
 
 
+@pytest.mark.slow
 def test_pallas_curve_add_double_match_xla():
     from marlin_tpu.fields import host_curve as hc
     from marlin_tpu.ops import curve_device as cd
@@ -43,6 +52,7 @@ def test_pallas_curve_add_double_match_xla():
     assert cd.to_affine_ints(gd) == cd.to_affine_ints(wd)
 
 
+@pytest.mark.slow
 def test_pallas_bucket_fold_matches_sum():
     import jax.numpy as jnp
 
@@ -69,6 +79,7 @@ def test_pallas_bucket_fold_matches_sum():
     assert res[2] is None  # identity lane
 
 
+@pytest.mark.slow
 def test_pallas_combine_windows_matches_xla():
     import jax.numpy as jnp
 
