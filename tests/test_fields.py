@@ -16,6 +16,10 @@ from marlin_tpu.fields import host_field as hf
 from marlin_tpu.fields import host_pairing as hp
 from marlin_tpu.ops import fq, fr
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 rng = random.Random(1234)
 
 

@@ -9,6 +9,10 @@ from marlin_tpu.snark import fs as fs_mod
 from marlin_tpu.snark import native
 from marlin_tpu.snark.fs import ChaCha20Rng, FiatShamirRng, _chacha_block
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def test_chacha_block_djb_zero_key():
     # djb ChaCha20, key=0, counter=0, nonce=0: well-known first block

@@ -14,6 +14,10 @@ from marlin_tpu.snark.r1cs import (
     lc,
 )
 
+import pytest
+
+pytestmark = pytest.mark.smoke
+
 
 def _build(circuit, mode=SynthesisMode.PROVE):
     cs = ConstraintSystem(mode=mode, optimization_goal=OptimizationGoal.WEIGHT)
