@@ -31,6 +31,12 @@ if _cache_dir:  # empty string disables (CPU executable (de)serialization can cr
         pass
 
 try:
-    from .snark.marlin import Marlin  # noqa: E402,F401
+    from .snark.marlin import Marlin, MarlinSonic  # noqa: E402,F401
+    from .snark.errors import (  # noqa: E402,F401
+        AHPError,
+        IndexTooLargeError,
+        MarlinError,
+        PolynomialCommitmentError,
+    )
 except ImportError:  # pragma: no cover - during incremental bring-up
     Marlin = None

@@ -30,6 +30,14 @@ class C:
 rng = test_rng()
 srs = {cls}.universal_setup(32, 32, 96, rng)
 pk, vk = {cls}.index(srs, C())
+# key serialization round-trips under the 32-byte Fq codec
+import tempfile, os
+from marlin_tpu.snark import serial
+with tempfile.TemporaryDirectory() as d:
+    serial.save_index_vk(vk, os.path.join(d, "vk.npz"))
+    vk = serial.load_index_vk(os.path.join(d, "vk.npz"))
+    serial.save_index_pk(pk, os.path.join(d, "pk.npz"))
+    pk = serial.load_index_pk(os.path.join(d, "pk.npz"))
 proof = {cls}.prove(pk, C(), rng)
 assert {cls}.verify(vk, [15], proof, rng)
 assert not {cls}.verify(vk, [16], proof, rng)
