@@ -377,7 +377,11 @@ def cached_srs(
     cache_dir = cache_dir or os.path.expanduser("~/.cache/marlin_tpu_srs")
     os.makedirs(cache_dir, exist_ok=True)
     suffix = "" if flavor == "marlin" else f"_{flavor}"
-    path = os.path.join(cache_dir, f"srs_bls12381_{max_degree}{suffix}.npz")
+    # the active curve is part of the key: an SRS is a per-curve artifact
+    # (filename keeps the historical "bls12381" spelling for the default
+    # curve so pre-warmed caches stay valid)
+    curve = getattr(P, "CURVE_NAME", "bls12_381").replace("_", "")
+    path = os.path.join(cache_dir, f"srs_{curve}_{max_degree}{suffix}.npz")
     if os.path.exists(path):
         pp = load_srs(path)
         if flavor != "sonic" or pp.neg_powers_of_h is not None:
