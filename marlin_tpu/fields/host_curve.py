@@ -88,6 +88,22 @@ def g1_neg(p):
 
 
 def g1_mul(p, k: int):
+    """Scalar mul.  The affine ladder pays a field inversion per point op
+    (ark-ec's AffineCurve::mul converts to projective for the same reason);
+    with a == 0 the Jacobian ladder runs inversion-free and converts back
+    once — ~25x fewer `pow(x, -1, q)` calls on the verifier's hot path."""
+    if _JAC_OK:
+        if p is None:
+            return None
+        k %= P.R_MODULUS
+        acc = (0, 1, 0)
+        base = _jac_from_affine(p)
+        while k:
+            if k & 1:
+                acc = _jac_add(acc, base)
+            base = _jac_double(base)
+            k >>= 1
+        return _jac_to_affine(acc)
     return _scalar_mul(FQ_OPS, p, k)
 
 

@@ -65,16 +65,18 @@ def fq2_neg(a):
 
 
 def fq2_mul(a, b):
+    # Karatsuba: 3 base muls instead of 4
     a0, a1 = a
     b0, b1 = b
     t0 = a0 * b0
     t1 = a1 * b1
-    return ((t0 - t1) % Q, (a0 * b1 + a1 * b0) % Q)
+    return ((t0 - t1) % Q, ((a0 + a1) * (b0 + b1) - t0 - t1) % Q)
 
 
 def fq2_sqr(a):
+    # complex method: 2 base muls
     a0, a1 = a
-    return ((a0 * a0 - a1 * a1) % Q, 2 * a0 * a1 % Q)
+    return ((a0 + a1) * (a0 - a1) % Q, 2 * a0 * a1 % Q)
 
 
 def fq2_mul_scalar(a, s):
@@ -130,7 +132,19 @@ def fq6_mul(a, b):
 
 
 def fq6_sqr(a):
-    return fq6_mul(a, a)
+    # CH-SQR2: 3 Fq2 squarings + 2 Fq2 muls (vs 6 muls via fq6_mul)
+    a0, a1, a2 = a
+    s0 = fq2_sqr(a0)
+    s1 = fq2_mul(a0, a1)
+    s1 = fq2_add(s1, s1)
+    s2 = fq2_sqr(fq2_add(fq2_sub(a0, a1), a2))
+    s3 = fq2_mul(a1, a2)
+    s3 = fq2_add(s3, s3)
+    s4 = fq2_sqr(a2)
+    c0 = fq2_add(s0, fq2_mul_by_xi(s3))
+    c1 = fq2_add(s1, fq2_mul_by_xi(s4))
+    c2 = fq2_sub(fq2_sub(fq2_add(fq2_add(s1, s2), s3), s0), s4)
+    return (c0, c1, c2)
 
 
 def fq6_mul_by_v(a):
@@ -179,7 +193,13 @@ def fq12_mul(a, b):
 
 
 def fq12_sqr(a):
-    return fq12_mul(a, a)
+    # complex method over Fq6: 2 Fq6 muls instead of 3
+    a0, a1 = a
+    v0 = fq6_mul(a0, a1)
+    t = fq6_mul(fq6_add(a0, a1), fq6_add(a0, fq6_mul_by_v(a1)))
+    c0 = fq6_sub(fq6_sub(t, v0), fq6_mul_by_v(v0))
+    c1 = fq6_add(v0, v0)
+    return (c0, c1)
 
 
 def fq12_inv(a):
@@ -287,8 +307,63 @@ def miller_loop(p_affine, q_affine):
     return f
 
 
+# --- Frobenius endomorphism on Fq12 ------------------------------------------
+# v^q = v * xi^((q-1)/3), w^q = w * xi^((q-1)/6) (3, 6 | q-1 for BLS12-381),
+# and the q-power map conjugates Fq2 coefficients.  For
+# x = sum_j w^j sum_i c_{ji} v^i:  frob(x)_{ji} = conj(c_{ji}) * gamma[j][i]
+# with gamma[j][i] = (xi^((q-1)/3))^i * (xi^((q-1)/6))^j.
+
+
+def fq2_pow(a, e: int):
+    r = FQ2_ONE
+    base = a
+    while e:
+        if e & 1:
+            r = fq2_mul(r, base)
+        base = fq2_sqr(base)
+        e >>= 1
+    return r
+
+
+_XI = (1, 1)
+_FROB_V = fq2_pow(_XI, (Q - 1) // 3)
+_FROB_W = fq2_pow(_XI, (Q - 1) // 6)
+_FROB_GAMMA = [
+    [fq2_mul(fq2_pow(_FROB_V, i), fq2_pow(_FROB_W, j)) for i in range(3)]
+    for j in range(2)
+]
+
+
+def fq12_frob(a):
+    """The q-power Frobenius map (one application)."""
+    return tuple(
+        tuple(
+            fq2_mul(fq2_conj(six[i]), _FROB_GAMMA[j][i]) for i in range(3)
+        )
+        for j, six in enumerate(a)
+    )
+
+
+# hard-part exponent (q^4 - q^2 + 1)/r decomposed in base q: since
+# m^(q^i) = frob^i(m), m^d = prod_i frob^i(m^{d_i}) — 4 exponentiations of
+# ~381/381/381/126 bits instead of one ~4317-bit ladder (~3.4x fewer
+# squarings), derived numerically so no hand-copied addition chain can rot.
+_HARD = (Q**4 - Q**2 + 1) // P.R_MODULUS
+_HARD_DIGITS = [(_HARD // Q**i) % Q for i in range(3)] + [_HARD // Q**3]
+
+
 def final_exponentiation(f):
-    return fq12_pow(f, FINAL_EXP)
+    # easy part: m = f^((q^6-1)(q^2+1)); conjugation IS the q^6-power map
+    m = fq12_mul(fq12_conj(f), fq12_inv(f))
+    m = fq12_mul(fq12_frob(fq12_frob(m)), m)
+    # hard part via the base-q digit decomposition
+    out = FQ12_ONE
+    for i, d in enumerate(_HARD_DIGITS):
+        t = fq12_pow(m, d)
+        for _ in range(i):
+            t = fq12_frob(t)
+        out = fq12_mul(out, t)
+    return out
 
 
 def pairing(p_affine, q_affine):
