@@ -23,31 +23,78 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tes
 BASELINE_NS_PER_CONSTRAINT = 25_000.0
 
 
-_WARM_MANIFEST = os.path.expanduser("~/.cache/marlin_tpu_srs/bench_warm.json")
+def _warm_manifest(backend: str) -> str:
+    return os.path.expanduser(f"~/.cache/marlin_tpu_srs/bench_warm_{backend}.json")
 
 
-def _warm_sizes() -> set:
+def _warm_sizes(backend: str) -> set:
     try:
-        with open(_WARM_MANIFEST) as f:
+        with open(_warm_manifest(backend)) as f:
             return set(json.load(f).get("warm_log2", []))
     except Exception:
         return set()
 
 
-def _record_warm(log2n: int) -> None:
+def _record_warm(backend: str, log2n: int) -> None:
     try:
-        sizes = _warm_sizes()
+        sizes = _warm_sizes(backend)
         sizes.add(log2n)
-        os.makedirs(os.path.dirname(_WARM_MANIFEST), exist_ok=True)
-        with open(_WARM_MANIFEST, "w") as f:
+        path = _warm_manifest(backend)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
             json.dump({"warm_log2": sorted(sizes)}, f)
     except Exception:
         pass
 
 
+def _probe_backend(timeout_s: int = 600) -> str:
+    """Name of the usable backend, probing in a subprocess.
+
+    The axon TPU tunnel can sit in a multi-minute claim-retry loop (or be
+    hard-down) — probing in-process would wedge the bench with no output.
+    On failure the bench falls back to CPU so a number is still captured;
+    the emitted JSON names the backend measured.  MARLIN_BENCH_BACKEND
+    overrides (e.g. =cpu, or =tpu to skip the probe)."""
+    import subprocess
+
+    forced = os.environ.get("MARLIN_BENCH_BACKEND")
+    if forced:
+        return forced
+    if os.environ.get("JAX_PLATFORMS", "") in ("cpu",):
+        return "cpu"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+            env=dict(os.environ, TF_CPP_MIN_LOG_LEVEL="3"),
+        )
+        return "tpu" if r.returncode == 0 else "cpu"
+    except subprocess.TimeoutExpired:
+        # a hung claim-retry loop counts as unavailable
+        return "cpu"
+
+
 def main():
     num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << 14))
     reps = int(os.environ.get("MARLIN_BENCH_REPS", 1))
+
+    backend = _probe_backend()
+    if backend == "cpu":
+        print(
+            "[bench] TPU backend unavailable or forced off; measuring the "
+            "XLA:CPU backend (JSON line carries backend=cpu)",
+            file=sys.stderr,
+            flush=True,
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        os.environ.setdefault(
+            "MARLIN_TPU_XLA_CACHE", os.path.expanduser("~/.cache/marlin_tpu_xla_cpu")
+        )
+        # CPU can't absorb the 2^14 default inside a capture budget
+        if "MARLIN_BENCH_CONSTRAINTS" not in os.environ:
+            num_constraints = 1 << 12
 
     # The one-time remote-compile cost of a cold size is hours on the
     # tunneled TPU (BASELINE.md); a bench invocation that dies in compiles
@@ -55,8 +102,8 @@ def main():
     # size, fall back to the largest size a previous invocation completed
     # end-to-end (recorded in the warm manifest) so a number is always
     # captured; the emitted metric names the size it measured.
-    if os.environ.get("MARLIN_BENCH_STRICT") != "1":
-        warm = _warm_sizes()
+    if os.environ.get("MARLIN_BENCH_STRICT") != "1" and backend == "tpu":
+        warm = _warm_sizes(backend)
         want = num_constraints.bit_length() - 1
         if warm and want not in warm:
             le = [w for w in warm if w <= want]
@@ -109,7 +156,7 @@ def main():
     elapsed = time.perf_counter() - start
     progress(f"done ({elapsed / reps:.2f} s/prove)")
 
-    _record_warm(num_constraints.bit_length() - 1)
+    _record_warm(backend, num_constraints.bit_length() - 1)
     ns_per_constraint = elapsed / reps / num_constraints * 1e9
     print(
         json.dumps(
@@ -118,6 +165,7 @@ def main():
                 "value": round(ns_per_constraint, 1),
                 "unit": "ns/constraint",
                 "vs_baseline": round(BASELINE_NS_PER_CONSTRAINT / ns_per_constraint, 4),
+                "backend": backend,
             }
         )
     )

@@ -283,25 +283,75 @@ def _line(t, s, p):
     return l, (x3, y3)
 
 
+def _sparse_line(lam, t, p_affine):
+    """Line through psi-images with twist slope `lam`, evaluated at P,
+    scaled by the Fq2 unit xi (killed by the easy final exponentiation).
+
+    With the M-twist embedding psi(x, y) = (x w^-2, y w^-3), the line
+    through psi(T) with twist-coordinate slope lam has Fq12 slope lam/w,
+    so  l(P) = yP - lam*xP*w^-1 + (lam*xT - yT)*w^-3.  Using w^6 = xi:
+    xi*l(P) = yP*xi + (lam*xT - yT)*w^3 - lam*xP*w^5 — three nonzero Fq2
+    slots (w^0, w^3, w^5) in the tower basis c_{j,i} <-> w^(2i+j):
+    (0,0), (1,1), (2,1)."""
+    xt, yt = t
+    xp, yp = p_affine
+    a = fq2_mul_scalar(_XI, yp)
+    b = fq2_sub(fq2_mul(lam, xt), yt)
+    c = fq2_mul_scalar(lam, (-xp) % Q)
+    return a, b, c
+
+
+def _mul_by_sparse(f, a, b, c):
+    """f * ((a,0,0),(0,b,c)) — dense Fq12 times a w^0/w^3/w^5 sparse line."""
+    f0, f1 = f
+    a6 = (a, FQ2_ZERO, FQ2_ZERO)
+    bc6 = (FQ2_ZERO, b, c)
+    t0 = tuple(fq2_mul(x, a) for x in f0)  # f0 * a
+    t1 = fq6_mul(f1, bc6)
+    c0 = fq6_add(t0, fq6_mul_by_v(t1))
+    # (f0 + f1) * (a6 + bc6) - t0 - t1
+    s = fq6_mul(fq6_add(f0, f1), fq6_add(a6, bc6))
+    c1 = fq6_sub(fq6_sub(s, t0), t1)
+    return (c0, c1)
+
+
 def miller_loop(p_affine, q_affine):
     """f_{|x|, psi(Q)}(P) for the ate pairing, conjugated for negative x.
 
     p_affine: (x, y) ints on G1, or None for infinity.
     q_affine: ((x0,x1), (y0,y1)) Fq2 pairs on the twist, or None.
+
+    Group arithmetic runs in twist (Fq2) coordinates — one cheap Fq2
+    inversion per step instead of an Fq12 inversion — and each line lands
+    as a 3-slot sparse Fq12 product (`_sparse_line`/`_mul_by_sparse`).
+    Per-line Fq2-unit scale factors are annihilated by the easy part of
+    the final exponentiation, so pairing outputs are unchanged.
     """
     if p_affine is None or q_affine is None:
         return FQ12_ONE
-    p12 = (fq_to_fq12(p_affine[0]), fq_to_fq12(p_affine[1]))
-    q12 = psi(q_affine)
-    t = q12
+    t = q_affine
     f = FQ12_ONE
     bits = bin(P.BLS_X)[3:]  # skip leading 1
     for bit in bits:
-        l, t = _line(t, t, p12)
-        f = fq12_mul(fq12_sqr(f), l)
+        xt, yt = t
+        lam = fq2_mul(
+            fq2_mul_scalar(fq2_sqr(xt), 3),
+            fq2_inv(fq2_mul_scalar(yt, 2)),
+        )
+        a, b, c = _sparse_line(lam, t, p_affine)
+        x3 = fq2_sub(fq2_sqr(lam), fq2_mul_scalar(xt, 2))
+        y3 = fq2_sub(fq2_mul(lam, fq2_sub(xt, x3)), yt)
+        t = (x3, y3)
+        f = _mul_by_sparse(fq12_sqr(f), a, b, c)
         if bit == "1":
-            l, t = _line(t, q12, p12)
-            f = fq12_mul(f, l)
+            xq, yq = q_affine
+            xt, yt = t
+            lam = fq2_mul(fq2_sub(yq, yt), fq2_inv(fq2_sub(xq, xt)))
+            a, b, c = _sparse_line(lam, t, p_affine)
+            x3 = fq2_sub(fq2_sub(fq2_sqr(lam), xt), xq)
+            y3 = fq2_sub(fq2_mul(lam, fq2_sub(xt, x3)), yt)
+            t = (x3, y3)
+            f = _mul_by_sparse(f, a, b, c)
     if P.BLS_X_IS_NEGATIVE:
         f = fq12_conj(f)
     return f
