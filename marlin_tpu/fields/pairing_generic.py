@@ -184,6 +184,63 @@ class GenericPairing:
         assert self.k == 12, "Tower12 engine covers embedding degree 12"
         self.T = cfg.TRACE - 1  # ate loop count
         self.final_exp = (self.q**self.k - 1) // self.r
+        # Frobenius data: v^q = v * xi^((q-1)/3), w^q = w * xi^((q-1)/6),
+        # q-power conjugates Fq2 coefficients (3, 6 | q-1 for any curve
+        # this tower shape fits).  gamma[j][i] scales coefficient c_{ji}.
+        q = self.q
+        tw = self.tw
+        fv = self._fq2_pow(tw.xi, (q - 1) // 3)
+        fw = self._fq2_pow(tw.xi, (q - 1) // 6)
+        self._gamma = [
+            [tw.fq2_mul(self._fq2_pow(fv, i), self._fq2_pow(fw, j)) for i in range(3)]
+            for j in range(2)
+        ]
+        # hard part (q^4 - q^2 + 1)/r in base-q digits: m^d = prod frob^i(m^{d_i})
+        hard = (q**4 - q**2 + 1) // self.r
+        self._hard_digits = [(hard // q**i) % q for i in range(3)] + [hard // q**3]
+
+    def _fq2_pow(self, a, e: int):
+        tw = self.tw
+        r = (1, 0)
+        base = a
+        while e:
+            if e & 1:
+                r = tw.fq2_mul(r, base)
+            base = tw.fq2_sqr(base)
+            e >>= 1
+        return r
+
+    def _fq2_conj(self, a):
+        return (a[0], (-a[1]) % self.q)
+
+    def frobenius(self, x):
+        """The q-power map on Fq12."""
+        tw = self.tw
+        return tuple(
+            tuple(
+                tw.fq2_mul(self._fq2_conj(six[i]), self._gamma[j][i])
+                for i in range(3)
+            )
+            for j, six in enumerate(x)
+        )
+
+    def _conj12(self, x):
+        """Conjugation (the q^6-power map): negate the w-part."""
+        return (x[0], self.tw.fq6_neg(x[1]))
+
+    def final_exponentiation(self, f):
+        tw = self.tw
+        # easy: m = f^((q^6-1)(q^2+1))
+        m = tw.mul(self._conj12(f), tw.inv(f))
+        m = tw.mul(self.frobenius(self.frobenius(m)), m)
+        # hard via base-q digits
+        out = tw.ONE
+        for i, d in enumerate(self._hard_digits):
+            t = tw.pow(m, d)
+            for _ in range(i):
+                t = self.frobenius(t)
+            out = tw.mul(out, t)
+        return out
 
     # --- untwist: E'(Fq2) -> E(Fq12) ---
     def _untwist(self, pt):
@@ -274,4 +331,4 @@ class GenericPairing:
         if ppt is None or qpt is None:
             return self.tw.ONE
         f = self.miller_loop(qpt, ppt)
-        return self.tw.pow(f, self.final_exp)
+        return self.final_exponentiation(f)
