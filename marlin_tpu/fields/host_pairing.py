@@ -406,10 +406,20 @@ def final_exponentiation(f):
     # easy part: m = f^((q^6-1)(q^2+1)); conjugation IS the q^6-power map
     m = fq12_mul(fq12_conj(f), fq12_inv(f))
     m = fq12_mul(fq12_frob(fq12_frob(m)), m)
-    # hard part via the base-q digit decomposition
-    out = FQ12_ONE
-    for i, d in enumerate(_HARD_DIGITS):
-        t = fq12_pow(m, d)
+    # hard part via the base-q digit decomposition; the four digit
+    # exponentiations share one square chain of m (one ~381-step ladder
+    # instead of four)
+    digits = _HARD_DIGITS
+    acc = [FQ12_ONE] * len(digits)
+    sq = m
+    for b in range(max(d.bit_length() for d in digits)):
+        for i, d in enumerate(digits):
+            if (d >> b) & 1:
+                acc[i] = fq12_mul(acc[i], sq)
+        sq = fq12_sqr(sq)
+    out = acc[0]
+    for i in range(1, len(digits)):
+        t = acc[i]
         for _ in range(i):
             t = fq12_frob(t)
         out = fq12_mul(out, t)

@@ -233,10 +233,18 @@ class GenericPairing:
         # easy: m = f^((q^6-1)(q^2+1))
         m = tw.mul(self._conj12(f), tw.inv(f))
         m = tw.mul(self.frobenius(self.frobenius(m)), m)
-        # hard via base-q digits
-        out = tw.ONE
-        for i, d in enumerate(self._hard_digits):
-            t = tw.pow(m, d)
+        # hard via base-q digits with a shared square chain
+        digits = self._hard_digits
+        acc = [tw.ONE] * len(digits)
+        sq = m
+        for b in range(max(d.bit_length() for d in digits)):
+            for i, d in enumerate(digits):
+                if (d >> b) & 1:
+                    acc[i] = tw.mul(acc[i], sq)
+            sq = tw.sqr(sq)
+        out = acc[0]
+        for i in range(1, len(digits)):
+            t = acc[i]
             for _ in range(i):
                 t = self.frobenius(t)
             out = tw.mul(out, t)

@@ -412,21 +412,26 @@ def _combine_lc_comms(lc_s: list, comms: dict, g: tuple):
     """
     out = {}
     for lc in lc_s:
-        acc = None
         acc_shifted = None
         degree_bound = None
         poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
         const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
+        # one host Pippenger per LC (native C when built) instead of a
+        # scalar-mul ladder per term — the verifier's dominant group work
+        pts, scals = [], []
         for c, t in poly_terms:
             lcm = comms[t]
-            acc = hc.g1_add(acc, hc.g1_mul(lcm.commitment.comm, c))
+            pts.append(lcm.commitment.comm)
+            scals.append(c)
             if lcm.degree_bound is not None:
                 if len(poly_terms) != 1:
                     raise PCError(f"LC {lc.label}: bounded commitment in multi-term LC")
                 degree_bound = lcm.degree_bound
                 acc_shifted = hc.g1_mul(lcm.commitment.shifted_comm, c)
         if const:
-            acc = hc.g1_add(acc, hc.g1_mul(g, const))
+            pts.append(g)
+            scals.append(const)
+        acc = hc.g1_msm(pts, scals) if pts else None
         out[lc.label] = (Commitment(comm=acc, shifted_comm=acc_shifted), degree_bound)
     return out
 
