@@ -92,6 +92,24 @@ def main():
         os.environ.setdefault(
             "MARLIN_TPU_XLA_CACHE", os.path.expanduser("~/.cache/marlin_tpu_xla_cpu")
         )
+        # commit MSMs on the CPU backend route to the native C Pippenger
+        # (~100x the XLA:CPU limb path; bit-identical proofs)
+        os.environ.setdefault("MARLIN_TPU_HOST_MSM", "1")
+        # the axon plugin registers at interpreter start (sitecustomize),
+        # so env mutation alone cannot stop a later claim attempt — drop
+        # the tunnel factory and pin the platform (tests/conftest.py does
+        # the same)
+        import jax
+
+        try:
+            from jax._src import xla_bridge as _xb
+
+            for _name in list(getattr(_xb, "_backend_factories", {})):
+                if _name not in ("cpu", "interpreter", "tpu"):
+                    _xb._backend_factories.pop(_name, None)
+        except Exception:
+            pass
+        jax.config.update("jax_platforms", "cpu")
         # CPU can't absorb the 2^14 default inside a capture budget
         if "MARLIN_BENCH_CONSTRAINTS" not in os.environ:
             num_constraints = 1 << 12

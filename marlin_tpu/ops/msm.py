@@ -356,6 +356,29 @@ def _sharded_msm_or_none(points: cd.Point, scalars_mont: jnp.ndarray):
     return msm_sharded(points, scalars_mont, ctx.mesh, ctx.axis)
 
 
+def _host_msm_or_none(points: cd.Point, scalars_mont: jnp.ndarray):
+    """Native-C host Pippenger route (MARLIN_TPU_HOST_MSM=1).
+
+    On the XLA:CPU backend the batched limb curve kernels are ~100x slower
+    than the C runtime's scalar Pippenger (csrc/marlin_curve.c); the CPU
+    fallback bench and host-bound workflows set the env knob to route
+    commit MSMs there.  Never used on TPU (the device kernels win) and
+    requires the active curve's native runtime."""
+    import os
+
+    if os.environ.get("MARLIN_TPU_HOST_MSM") != "1":
+        return None
+    from ..fields import host_curve as hc
+    from ..fields import native_curve as nc
+
+    if not nc.available():
+        return None
+    affs = cd.to_affine_ints(points)
+    scals = [s for s in fr.to_ints(scalars_mont)]
+    res = hc.g1_msm(affs, scals)
+    return cd.from_affine_ints([res])
+
+
 def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
     """Σ_i s_i P_i -> single Jacobian point (shape [1]).
 
@@ -363,6 +386,9 @@ def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd
     scalars_mont: [n, 16] Fr Montgomery limbs.
     """
     out = _sharded_msm_or_none(points, scalars_mont)
+    if out is not None:
+        return out
+    out = _host_msm_or_none(points, scalars_mont)
     if out is not None:
         return out
     if points[0].shape[0] >= _PIPPENGER_MIN:
@@ -381,6 +407,17 @@ def msm_many(powers: cd.Point, jobs: list) -> list:
     """
     if not jobs:
         return []
+    import os
+
+    if os.environ.get("MARLIN_TPU_HOST_MSM") == "1":
+        host = [
+            _host_msm_or_none(
+                tuple(powers[i][off : off + scal.shape[0]] for i in range(3)), scal
+            )
+            for off, scal in jobs
+        ]
+        if all(h is not None for h in host):
+            return host
     total = sum(scal.shape[0] for _, scal in jobs)
     if total >= _PIPPENGER_MIN:
         out = []
