@@ -368,6 +368,36 @@ def g1_compress(p) -> bytes:
     return bytes(b)
 
 
+def _sqrt_mod(a: int):
+    """Square root mod q, or None: q ≡ 3 (mod 4) fast path (BLS12-381,
+    BN254) with Tonelli-Shanks for q ≡ 1 (mod 4) fields (BLS12-377)."""
+    a %= Q
+    if a == 0:
+        return 0
+    if Q % 4 == 3:
+        y = pow(a, (Q + 1) // 4, Q)
+        return y if y * y % Q == a else None
+    if pow(a, (Q - 1) // 2, Q) != 1:
+        return None
+    qq, s = Q - 1, 0
+    while qq % 2 == 0:
+        qq //= 2
+        s += 1
+    z = 2
+    while pow(z, (Q - 1) // 2, Q) == 1:
+        z += 1
+    m, c, t, r = s, pow(z, qq, Q), pow(a, qq, Q), pow(a, (qq + 1) // 2, Q)
+    while t != 1:
+        i, t2 = 0, t
+        while t2 != 1:
+            t2 = t2 * t2 % Q
+            i += 1
+        b = pow(c, 1 << (m - i - 1), Q)
+        m, c = i, b * b % Q
+        t, r = t * c % Q, r * b % Q
+    return r
+
+
 def g1_decompress(b: bytes):
     """Inverse of g1_compress with full validation: coordinate range,
     on-curve, and prime-order-subgroup membership (ark
@@ -381,9 +411,9 @@ def g1_decompress(b: bytes):
     x = int.from_bytes(bytes(b), "little")
     if x >= Q:
         raise ValueError("x coordinate out of field range")
-    y2 = (x * x * x + P.CURVE_B) % Q
-    y = pow(y2, (Q + 1) // 4, Q)  # q ≡ 3 (mod 4)
-    if y * y % Q != y2:
+    y2 = (x * x * x + P.CURVE_A * x + P.CURVE_B) % Q
+    y = _sqrt_mod(y2)
+    if y is None:
         raise ValueError("not a point on the curve")
     if (y > Q - y) != bool(flags & _FLAG_Y_LARGEST):
         y = Q - y

@@ -46,7 +46,14 @@ def fq_neg(a):
     return (-a) % Q
 
 
-# --- Fq2: (c0, c1) = c0 + c1*u, u^2 = -1 ------------------------------------
+# --- Fq2: (c0, c1) = c0 + c1*u, u^2 = NR -------------------------------------
+# NR comes from the active config (-1 for BLS12-381/BN254, -5 for
+# BLS12-377); this layer also backs host_curve's G2 group law, so it must
+# be non-residue-generic even though the tower above it is BLS-only.
+
+# kept as a small signed int so nr*t stays a cheap bigint-by-word product
+_NR = getattr(P, "FQ2_NONRESIDUE", -1)
+assert abs(_NR) < 1 << 20, "FQ2_NONRESIDUE expected as a small signed int"
 
 FQ2_ZERO = (0, 0)
 FQ2_ONE = (1, 0)
@@ -70,13 +77,21 @@ def fq2_mul(a, b):
     b0, b1 = b
     t0 = a0 * b0
     t1 = a1 * b1
-    return ((t0 - t1) % Q, ((a0 + a1) * (b0 + b1) - t0 - t1) % Q)
+    return ((t0 + _NR * t1) % Q, ((a0 + a1) * (b0 + b1) - t0 - t1) % Q)
 
 
-def fq2_sqr(a):
-    # complex method: 2 base muls
-    a0, a1 = a
-    return ((a0 + a1) * (a0 - a1) % Q, 2 * a0 * a1 % Q)
+if _NR == -1:
+
+    def fq2_sqr(a):
+        # complex method: 2 base muls (u^2 = -1 only)
+        a0, a1 = a
+        return ((a0 + a1) * (a0 - a1) % Q, 2 * a0 * a1 % Q)
+
+else:
+
+    def fq2_sqr(a):
+        a0, a1 = a
+        return ((a0 * a0 + _NR * a1 * a1) % Q, 2 * a0 * a1 % Q)
 
 
 def fq2_mul_scalar(a, s):
@@ -85,7 +100,7 @@ def fq2_mul_scalar(a, s):
 
 def fq2_inv(a):
     a0, a1 = a
-    norm = (a0 * a0 + a1 * a1) % Q
+    norm = (a0 * a0 - _NR * a1 * a1) % Q
     ninv = pow(norm, -1, Q)
     return (a0 * ninv % Q, (-a1 * ninv) % Q)
 
@@ -446,11 +461,6 @@ def multi_pairing(pairs) -> bool:
 
 if getattr(P, "CURVE_NAME", "bls12_381") != "bls12_381":
     from .pairing_generic import GenericPairing as _GP
-
-    # the Fq2 helpers above (shared with host_curve's G2 law) hardcode
-    # u^2 = -1; both live configs satisfy it, and a config that does not
-    # must bring its own Fq2 layer
-    assert getattr(P, "FQ2_NONRESIDUE", -1) % Q == Q - 1
 
     _ENGINE = _GP(P)
 
