@@ -59,6 +59,44 @@ def to_affine_ints(pt: Point) -> list:
     return [None if i else (a, b) for a, b, i in zip(xs, ys, inf)]
 
 
+def to_affine_ints_host(pt: Point) -> list:
+    """Like `to_affine_ints` but with the normalization on the HOST.
+
+    The device version runs a batched Fermat inversion — appropriate when
+    the batch stays on device, but a ~10 s stall per call on the XLA:CPU
+    backend.  Here only the raw Jacobian limbs transfer (no device
+    compute) and the Z inversions collapse into ONE modular inverse via
+    the Montgomery prefix-product trick in host ints."""
+    q = P.Q_MODULUS
+    xs = fq.to_ints(pt[0])
+    ys = fq.to_ints(pt[1])
+    zs = fq.to_ints(pt[2])
+    nonzero = [z for z in zs if z != 0]
+    if not nonzero:
+        return [None] * len(zs)
+    prefix = []
+    acc = 1
+    for z in nonzero:
+        acc = acc * z % q
+        prefix.append(acc)
+    inv_all = pow(acc, -1, q)
+    invs = [0] * len(nonzero)
+    for i in range(len(nonzero) - 1, -1, -1):
+        invs[i] = inv_all * (prefix[i - 1] if i else 1) % q
+        inv_all = inv_all * nonzero[i] % q
+    out = []
+    k = 0
+    for x, y, z in zip(xs, ys, zs):
+        if z == 0:
+            out.append(None)
+            continue
+        zi = invs[k]
+        k += 1
+        zi2 = zi * zi % q
+        out.append((x * zi2 % q, y * zi2 % q * zi % q))
+    return out
+
+
 def identity(shape=()) -> Point:
     return (fq.zeros(shape), fq.ones(shape), fq.zeros(shape))
 

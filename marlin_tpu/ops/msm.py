@@ -373,7 +373,7 @@ def _host_msm_or_none(points: cd.Point, scalars_mont: jnp.ndarray):
 
     if not nc.available():
         return None
-    affs = cd.to_affine_ints(points)
+    affs = cd.to_affine_ints_host(points)
     scals = [s for s in fr.to_ints(scalars_mont)]
     res = hc.g1_msm(affs, scals)
     return cd.from_affine_ints([res])
