@@ -197,7 +197,7 @@ def trim(
     shift_powers = {}
     if bounds:
         idxs = jnp.asarray([d - b for b in bounds])
-        affs = cd.to_affine_ints(cd.gather(pp.powers_of_g, idxs))
+        affs = cd.to_affine_ints_host(cd.gather(pp.powers_of_g, idxs))
         shift_powers = dict(zip(bounds, affs))
     ck = CommitterKey(
         pp=pp,
@@ -258,7 +258,7 @@ def _ensure_host_powers(pp: UniversalParams) -> list | None:
     n = pp.powers_of_g[0].shape[0]
     if n > _HOST_POWERS_MAX:
         return None
-    pp._host_powers = cd.to_affine_ints(pp.powers_of_g)
+    pp._host_powers = cd.to_affine_ints_host(pp.powers_of_g)
     return pp._host_powers
 
 
@@ -277,7 +277,7 @@ def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
             return out
     jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs)
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    return cd.to_affine_ints(stacked)
+    return cd.to_affine_ints_host(stacked)
 
 
 def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):

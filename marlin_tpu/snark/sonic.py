@@ -130,7 +130,7 @@ def _run_jobs(ck: SonicCommitterKey, jobs: list, powers: str = "g") -> list:
             return out
     jacs = msm_mod.msm_many(pts, jobs)
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    return cd.to_affine_ints(stacked)
+    return cd.to_affine_ints_host(stacked)
 
 
 def commit(ck: SonicCommitterKey, labeled_polys: list, rng: ZkRng | None):
