@@ -95,6 +95,10 @@ def main():
         # commit MSMs on the CPU backend route to the native C Pippenger
         # (~100x the XLA:CPU limb path; bit-identical proofs)
         os.environ.setdefault("MARLIN_TPU_HOST_MSM", "1")
+        # at bench sizes the fused round jits buy nothing on CPU (warm
+        # 24.6 vs 26 s at 2^12) but cost ~25 min of XLA:CPU compile per
+        # size; run the rounds as eager cached primitives instead
+        os.environ.setdefault("MARLIN_TPU_FUSE_ROUNDS", "0")
         # the axon plugin registers at interpreter start (sitecustomize),
         # so env mutation alone cannot stop a later claim attempt — drop
         # the tunnel factory and pin the platform (tests/conftest.py does

@@ -58,6 +58,8 @@ def _round_jit(**jit_kwargs):
     """
 
     def deco(fn):
+        if os.environ.get("MARLIN_TPU_FUSE_ROUNDS") == "0":
+            return fn
         if jax.default_backend() == "cpu":
             return functools.partial(jax.jit, **jit_kwargs)(fn)
         return fn
