@@ -499,11 +499,13 @@ void marlin_g1_msm(const uint64_t *points, const uint8_t *inf, const uint64_t *s
     size_t nb = (size_t)1 << c;
     g1_t *pts = (g1_t *)malloc(sizeof(g1_t) * n);
     for (size_t i = 0; i < n; i++) g1_from_affine_limbs(&pts[i], points + i * 12, inf && inf[i]);
-    g1_t *buckets = (g1_t *)malloc(sizeof(g1_t) * nb);
-    g1_t total;
-    g1_set_identity(&total);
-    for (int w = nwin - 1; w >= 0; w--) {
-        for (int b = 0; b < c; b++) g1_double(&total, &total);
+    /* windows are independent (rayon's parallel MSM splits the same way):
+       each thread owns one window's bucket array and produces its partial
+       sum; the 2^(cw) scaling + final accumulation happen afterwards. */
+    g1_t *wsum = (g1_t *)malloc(sizeof(g1_t) * nwin);
+#pragma omp parallel for schedule(dynamic)
+    for (int w = 0; w < nwin; w++) {
+        g1_t *buckets = (g1_t *)malloc(sizeof(g1_t) * nb);
         for (size_t b = 0; b < nb; b++) g1_set_identity(&buckets[b]);
         for (size_t i = 0; i < n; i++) {
             const uint64_t *sc = scalars + i * 4;
@@ -522,10 +524,17 @@ void marlin_g1_msm(const uint64_t *points, const uint8_t *inf, const uint64_t *s
             g1_add(&running, &running, &buckets[b]);
             g1_add(&acc, &acc, &running);
         }
-        g1_add(&total, &total, &acc);
+        wsum[w] = acc;
+        free(buckets);
+    }
+    g1_t total;
+    g1_set_identity(&total);
+    for (int w = nwin - 1; w >= 0; w--) {
+        for (int b = 0; b < c; b++) g1_double(&total, &total);
+        g1_add(&total, &total, &wsum[w]);
     }
     g1_batch_to_affine(&total, 1, out, out_inf);
-    free(buckets);
+    free(wsum);
     free(pts);
 }
 

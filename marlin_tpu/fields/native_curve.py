@@ -44,7 +44,7 @@ def _load():
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["cc", "-O3", "-fopenmp", "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True,
                 capture_output=True,
             )
