@@ -33,6 +33,7 @@ from ..fields import host_pairing as hp
 from ..ops import curve_device as cd
 from ..ops import fr, msm, poly
 from ..utils.rand import ZkRng
+from ..utils import profiling
 from .lc import ONE_TERM, LinearCombination
 
 R = P.R_MODULUS
@@ -483,7 +484,8 @@ def open_combinations(
     """
     from ..ops import msm as msm_mod
 
-    virtual = _combine_lc_polys(lc_s, polys, rands)
+    with profiling.span("Combining LC polynomials"):
+        virtual = _combine_lc_polys(lc_s, polys, rands)
     d = ck.max_degree
     per_point = []
     for _pl, z, labels in _group_query_set(query_set):
@@ -541,7 +543,8 @@ def open_combinations(
 
     # fuse every point's witness MSMs into one pass
     all_jobs = [j for p in per_point for j in p["jobs"]]
-    affs = _run_msm_jobs(ck, all_jobs)
+    with profiling.span("Committing to witness polynomials"):
+        affs = _run_msm_jobs(ck, all_jobs)
     proofs = []
     k = 0
     for p in per_point:
