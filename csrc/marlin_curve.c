@@ -503,7 +503,7 @@ void marlin_g1_msm(const uint64_t *points, const uint8_t *inf, const uint64_t *s
        each thread owns one window's bucket array and produces its partial
        sum; the 2^(cw) scaling + final accumulation happen afterwards. */
     g1_t *wsum = (g1_t *)malloc(sizeof(g1_t) * nwin);
-#pragma omp parallel for schedule(dynamic)
+#pragma omp parallel for schedule(dynamic) if (n >= 512)
     for (int w = 0; w < nwin; w++) {
         g1_t *buckets = (g1_t *)malloc(sizeof(g1_t) * nb);
         for (size_t b = 0; b < nb; b++) g1_set_identity(&buckets[b]);
