@@ -61,8 +61,38 @@ class CooMatrix:
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _scatter_sum_mod(prods: jnp.ndarray, seg_ids: jnp.ndarray, _unused, num_segments: int):
-    sums = jax.ops.segment_sum(prods, seg_ids, num_segments=num_segments)
-    return fr.reduce_wide(sums)
+    """Per-segment modular sum of [nnz, L] base-2^16 limb vectors.
+
+    A segment can receive the WHOLE nnz (e.g. a variable used by every
+    constraint scatters one column index nnz times), and a plain uint32
+    segment sum overflows once a segment exceeds 2^16 contributions
+    (2^16-magnitude limbs x 2^16 terms = 2^32 — first bites at |H| > 2^16,
+    which silently corrupted 2^18 proofs).  x64 is unavailable under JAX's
+    default config, so each limb splits into its two bytes, the two byte
+    planes segment-sum separately in uint32 (safe to 2^24 contributions
+    per segment), and the byte-plane sums refold into base-2^16 pieces
+    spread over L+2 redundant limbs — every refolded piece < 2^16, at most
+    four land per limb, comfortably inside reduce_wide's < 2^32 - 2^16
+    limb bound.
+    """
+    assert prods.shape[0] < 1 << 24, "segment sum capacity (2^24 rows)"
+    lo8 = jax.ops.segment_sum(prods & 0xFF, seg_ids, num_segments=num_segments)
+    hi8 = jax.ops.segment_sum(prods >> 8, seg_ids, num_segments=num_segments)
+    # value per limb i: lo8_i + hi8_i * 2^8, each sum < 2^32
+    t = (hi8 & 0xFFFFFF) << 8  # < 2^32
+    pieces = [
+        (lo8 & 0xFFFF, 0),
+        (lo8 >> 16, 1),
+        (t & 0xFFFF, 0),
+        (t >> 16, 1),
+        (hi8 >> 24, 2),
+    ]
+    pad = [(0, 0)] * (prods.ndim - 1)
+    wide = None
+    for arr, off in pieces:
+        shifted = jnp.pad(arr, pad + [(off, 2 - off)])
+        wide = shifted if wide is None else wide + shifted
+    return fr.reduce_wide(wide)
 
 
 def spmv(m: CooMatrix, z: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:

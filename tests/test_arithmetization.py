@@ -129,3 +129,28 @@ def test_bivariate_batch_evals():
     fast = [fast[0]] + fast[1:][::-1]  # elems * n then reverse tail
     manual = [dom.eval_unnormalized_bivariate_lagrange_poly(e, e) for e in elems]
     assert fast == manual
+
+
+def test_scatter_survives_single_segment_flood():
+    """Overflow regression: 2^18 contributions landing in ONE segment.
+
+    A variable used by every constraint scatters one column index nnz
+    times (DummyCircuit's output wire does exactly this), which overflowed
+    the uint32 segment accumulation once |H| crossed 2^16 and silently
+    corrupted 2^18 proofs; the byte-plane split in ops/sparse.py is the
+    fix.  (Reference never hits this: rayon accumulates in full field
+    elements — src/ahp/prover.rs:411-428.)
+    """
+    import random
+
+    import jax.numpy as jnp
+
+    from marlin_tpu.ops import fr, sparse
+
+    rng = random.Random(99)
+    n = 1 << 18
+    vals_int = [rng.randrange(R) for _ in range(n)]
+    got = fr.to_ints(
+        sparse.scatter_add_mod(fr.from_ints(vals_int), jnp.zeros((n,), jnp.int32), 2)
+    )[0]
+    assert got == sum(vals_int) % R
