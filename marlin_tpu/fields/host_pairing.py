@@ -446,7 +446,16 @@ def pairing(p_affine, q_affine):
 
 
 def multi_pairing(pairs) -> bool:
-    """Check prod_i e(P_i, Q_i) == 1 with a single final exponentiation."""
+    """Check prod_i e(P_i, Q_i) == 1 with a single final exponentiation.
+
+    Routes through the native C pairing engine when built (same tower,
+    same Miller loop structure, bit-identical Fq12 values — see
+    tests/test_native_pairing.py); this pure-Python path is the fallback
+    and the parity oracle."""
+    from . import native_curve as nc
+
+    if nc.available():
+        return nc.multi_pairing(list(pairs))
     f = FQ12_ONE
     for p, q in pairs:
         f = fq12_mul(f, miller_loop(p, q))

@@ -55,10 +55,15 @@ def _load():
             ("marlin_g1_msm", [_U64P, _U8P, _U64P, ctypes.c_size_t, _U64P, _U8P]),
             ("marlin_g1_mul", [_U64P, _U64P, _U64P, _U8P]),
             ("marlin_g2_mul", [_U64P, _U64P, _U64P, _U8P]),
+            ("marlin_miller_loop", [_U64P, ctypes.c_uint8, _U64P, ctypes.c_uint8, _U64P]),
+            ("marlin_final_exp", [_U64P, _U64P, _U64P]),
         ):
             fn = getattr(lib, name)
             fn.argtypes = argtypes
             fn.restype = None
+        mp = lib.marlin_multi_pairing
+        mp.argtypes = [_U64P, _U8P, _U64P, _U8P, ctypes.c_size_t, _U64P]
+        mp.restype = ctypes.c_int
         _LIB = lib
     except Exception:  # pragma: no cover - missing toolchain
         _LIB = None
@@ -162,3 +167,127 @@ def g1_msm(points: list, scalars: list):
     oinf = np.zeros(1, dtype=np.uint8)
     lib.marlin_g1_msm(pts, inf, sc, len(points), out, oinf)
     return _g1_out_to_list(out, oinf)[0]
+
+
+def g1_mul(p: tuple, k: int):
+    """k * P for an affine int tuple (None = identity)."""
+    if p is None:
+        return None
+    lib = _load()
+    base = np.asarray(_int_to_limbs(p[0], 6) + _int_to_limbs(p[1], 6), dtype=np.uint64)
+    sc = _scalars_arr([k])[0]
+    out = np.zeros((1, 12), dtype=np.uint64)
+    oinf = np.zeros(1, dtype=np.uint8)
+    lib.marlin_g1_mul(base, sc, out, oinf)
+    return _g1_out_to_list(out, oinf)[0]
+
+
+def g2_mul(p: tuple, k: int):
+    """k * Q for an affine G2 ((x0,x1),(y0,y1)) tuple (None = identity)."""
+    if p is None:
+        return None
+    lib = _load()
+    (x0, x1), (y0, y1) = p
+    base = np.asarray(
+        _int_to_limbs(x0, 6) + _int_to_limbs(x1, 6) + _int_to_limbs(y0, 6) + _int_to_limbs(y1, 6),
+        dtype=np.uint64,
+    )
+    sc = _scalars_arr([k])[0]
+    out = np.zeros(24, dtype=np.uint64)
+    oinf = np.zeros(1, dtype=np.uint8)
+    lib.marlin_g2_mul(base, sc, out, oinf)
+    if oinf[0]:
+        return None
+    return (
+        (_limbs_to_int(out[:6]), _limbs_to_int(out[6:12])),
+        (_limbs_to_int(out[12:18]), _limbs_to_int(out[18:24])),
+    )
+
+
+# --- pairing (BLS12-381 only, like the rest of this runtime) -----------------
+
+_FQ12_SLOTS = 6  # ((c00,c01,c02),(c10,c11,c12)), each an Fq2 pair
+
+
+def _fq12_to_limbs(f) -> np.ndarray:
+    out = np.zeros(72, dtype=np.uint64)
+    k = 0
+    for six in f:
+        for a0, a1 in six:
+            out[k * 12 : k * 12 + 6] = _int_to_limbs(a0, 6)
+            out[k * 12 + 6 : k * 12 + 12] = _int_to_limbs(a1, 6)
+            k += 1
+    return out
+
+
+def _limbs_to_fq12(arr: np.ndarray):
+    vals = [
+        (_limbs_to_int(arr[k * 12 : k * 12 + 6]), _limbs_to_int(arr[k * 12 + 6 : k * 12 + 12]))
+        for k in range(6)
+    ]
+    return ((vals[0], vals[1], vals[2]), (vals[3], vals[4], vals[5]))
+
+
+def _hard_digits_arr() -> np.ndarray:
+    """Base-q digits of the hard exponent, derived by host_pairing (the C
+    side takes them as input so no addition chain is hand-copied)."""
+    from . import host_pairing as hp
+
+    out = np.zeros(24, dtype=np.uint64)
+    for i, d in enumerate(hp._HARD_DIGITS):
+        out[i * 6 : (i + 1) * 6] = _int_to_limbs(d, 6)
+    return out
+
+
+def miller_loop(p_affine, q_affine):
+    """Native ate Miller loop; returns the same nested Fq12 tuples as
+    host_pairing.miller_loop (bit-identical, tested)."""
+    lib = _load()
+    out = np.zeros(72, dtype=np.uint64)
+    if p_affine is None or q_affine is None:
+        p_arr = np.zeros(12, dtype=np.uint64)
+        q_arr = np.zeros(24, dtype=np.uint64)
+        lib.marlin_miller_loop(p_arr, 1, q_arr, 1, out)
+    else:
+        p_arr = np.asarray(
+            _int_to_limbs(p_affine[0], 6) + _int_to_limbs(p_affine[1], 6), dtype=np.uint64
+        )
+        (x0, x1), (y0, y1) = q_affine
+        q_arr = np.asarray(
+            _int_to_limbs(x0, 6) + _int_to_limbs(x1, 6) + _int_to_limbs(y0, 6) + _int_to_limbs(y1, 6),
+            dtype=np.uint64,
+        )
+        lib.marlin_miller_loop(p_arr, 0, q_arr, 0, out)
+    return _limbs_to_fq12(out)
+
+
+def final_exponentiation(f):
+    lib = _load()
+    out = np.zeros(72, dtype=np.uint64)
+    lib.marlin_final_exp(_fq12_to_limbs(f), _hard_digits_arr(), out)
+    return _limbs_to_fq12(out)
+
+
+def multi_pairing(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 with one shared final exponentiation."""
+    lib = _load()
+    k = len(pairs)
+    g1s = np.zeros((k, 12), dtype=np.uint64)
+    g1_inf = np.zeros(k, dtype=np.uint8)
+    g2s = np.zeros((k, 24), dtype=np.uint64)
+    g2_inf = np.zeros(k, dtype=np.uint8)
+    for i, (p, q) in enumerate(pairs):
+        if p is None:
+            g1_inf[i] = 1
+        else:
+            g1s[i, :6] = _int_to_limbs(p[0], 6)
+            g1s[i, 6:] = _int_to_limbs(p[1], 6)
+        if q is None:
+            g2_inf[i] = 1
+        else:
+            (x0, x1), (y0, y1) = q
+            g2s[i, :6] = _int_to_limbs(x0, 6)
+            g2s[i, 6:12] = _int_to_limbs(x1, 6)
+            g2s[i, 12:18] = _int_to_limbs(y0, 6)
+            g2s[i, 18:24] = _int_to_limbs(y1, 6)
+    return bool(lib.marlin_multi_pairing(g1s, g1_inf, g2s, g2_inf, k, _hard_digits_arr()))

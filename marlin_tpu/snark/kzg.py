@@ -406,37 +406,6 @@ class LabeledCommitment:
     degree_bound: int | None = None
 
 
-def _combine_lc_comms(lc_s: list, comms: dict, g: tuple):
-    """Virtual commitments: Σ coeff·C (+ const·g); host group ops.
-
-    comms: label -> LabeledCommitment.  Returns label -> (Commitment, bound).
-    """
-    out = {}
-    for lc in lc_s:
-        acc_shifted = None
-        degree_bound = None
-        poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
-        const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
-        # one host Pippenger per LC (native C when built) instead of a
-        # scalar-mul ladder per term — the verifier's dominant group work
-        pts, scals = [], []
-        for c, t in poly_terms:
-            lcm = comms[t]
-            pts.append(lcm.commitment.comm)
-            scals.append(c)
-            if lcm.degree_bound is not None:
-                if len(poly_terms) != 1:
-                    raise PCError(f"LC {lc.label}: bounded commitment in multi-term LC")
-                degree_bound = lcm.degree_bound
-                acc_shifted = hc.g1_mul(lcm.commitment.shifted_comm, c)
-        if const:
-            pts.append(g)
-            scals.append(const)
-        acc = hc.g1_msm(pts, scals) if pts else None
-        out[lc.label] = (Commitment(comm=acc, shifted_comm=acc_shifted), degree_bound)
-    return out
-
-
 # --------------------------------------------------------------------------
 # open / check
 
@@ -573,42 +542,83 @@ def check_combinations(
 
     evaluations: (lc_label, point) -> claimed value.
     """
-    virtual_comms = _combine_lc_comms(lc_s, comms, vk.g)
+    # Symbolic LC expansion: label -> (entries [(coeff, point)], shifted
+    # (coeff, point) | None, bound).  No group ops here — every term lands
+    # in ONE flat host Pippenger below (the per-LC/per-label scalar-mul
+    # version cost ~21 ladder calls per verify).
+    lc_map = {}
+    for lc in lc_s:
+        poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
+        const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
+        entries = []
+        shifted = None
+        bound = None
+        for c, t in poly_terms:
+            lcm = comms[t]
+            entries.append((c, lcm.commitment.comm))
+            if lcm.degree_bound is not None:
+                if len(poly_terms) != 1:
+                    raise PCError(f"LC {lc.label}: bounded commitment in multi-term LC")
+                bound = lcm.degree_bound
+                shifted = (c, lcm.commitment.shifted_comm)
+        if const:
+            entries.append((const, vk.g))
+        lc_map[lc.label] = (entries, shifted, bound)
+
     groups = _group_query_set(query_set)
     if len(groups) != len(proof.proofs):
         return False
 
-    # accumulate Σ_t u_t (C_t - v_t g - rv_t γg + z_t W_t) and Σ_t u_t W_t
-    acc_lhs = None
-    acc_w = None
+    # accumulate Σ_t u_t (C_t - v_t g - rv_t γg + z_t W_t) and Σ_t u_t W_t,
+    # each as a single MSM over the expanded terms
+    pts: list = []
+    scals: list = []
+    w_pts: list = []
+    w_scals: list = []
+    g_scalar = 0
+    gamma_scalar = 0
     for (pl, z, labels), pp in zip(groups, proof.proofs):
         chi = 1
-        comb_c = None
         comb_v = 0
+        group_start = len(scals)  # u is sampled after the label walk; defer
         for label in labels:
-            vc, bound = virtual_comms[label]
+            entries, shifted, bound = lc_map[label]
             if (label, z) not in evaluations:
                 return False
             v = evaluations[(label, z)]
-            comb_c = hc.g1_add(comb_c, hc.g1_mul(vc.comm, chi))
+            for c, pt in entries:
+                pts.append(pt)
+                scals.append(chi * c % R)
             comb_v = (comb_v + chi * v) % R
             chi = chi * opening_challenge % R
             if bound is not None:
-                # shifted term: χ'·(shifted_comm - v·τ^(D-b) g); no value part
-                adj = hc.g1_add(
-                    vc.shifted_comm,
-                    hc.g1_neg(hc.g1_mul(vk.get_shift_power(bound), v)),
-                )
-                comb_c = hc.g1_add(comb_c, hc.g1_mul(adj, chi))
+                # shifted term: χ'·(c·shifted_comm - v·τ^(D-b) g)
+                sc, spt = shifted
+                pts.append(spt)
+                scals.append(chi * sc % R)
+                pts.append(vk.get_shift_power(bound))
+                scals.append(-(chi * v) % R)
                 chi = chi * opening_challenge % R
         u = rng.rand_fr()
-        lhs_t = hc.g1_add(comb_c, hc.g1_neg(hc.g1_mul(vk.g, comb_v)))
+        for i in range(group_start, len(scals)):
+            scals[i] = scals[i] * u % R
+        g_scalar = (g_scalar - u * comb_v) % R
         if pp.random_v is not None:
-            lhs_t = hc.g1_add(lhs_t, hc.g1_neg(hc.g1_mul(vk.gamma_g, pp.random_v)))
-        lhs_t = hc.g1_add(lhs_t, hc.g1_mul(pp.w, z))
-        acc_lhs = hc.g1_add(acc_lhs, hc.g1_mul(lhs_t, u))
-        acc_w = hc.g1_add(acc_w, hc.g1_mul(pp.w, u))
+            gamma_scalar = (gamma_scalar - u * pp.random_v) % R
+        pts.append(pp.w)
+        scals.append(u * z % R)
+        w_pts.append(pp.w)
+        w_scals.append(u)
 
+    if not pts:
+        return False
+    pts.append(vk.g)
+    scals.append(g_scalar)
+    if gamma_scalar:
+        pts.append(vk.gamma_g)
+        scals.append(gamma_scalar)
+    acc_lhs = hc.g1_msm(pts, scals)
+    acc_w = hc.g1_msm(w_pts, w_scals)
     if acc_lhs is None:
         return False
     # e(acc_lhs, h) * e(-acc_w, beta_h) == 1

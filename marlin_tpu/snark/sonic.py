@@ -241,57 +241,77 @@ def check_combinations(
     rng: ZkRng,
 ) -> bool:
     """Pairing product with one extra Miller loop per distinct degree bound."""
-    # virtual commitments: bounded LCs keep their group separate
+    # symbolic virtual commitments: label -> (entries [(coeff, point)], bound);
+    # bounded LCs keep their group separate.  No group ops here — all terms
+    # land in one flat host Pippenger per pairing slot below.
     virtual = {}
     for lc in lc_s:
-        acc = None
         bound = None
         poly_terms = [(c, t) for c, t in lc.terms if t is not ONE_TERM]
         const = sum(c for c, t in lc.terms if t is ONE_TERM) % R
+        entries = []
         for c, t in poly_terms:
             lcm = comms[t]
             if lcm.degree_bound is not None:
                 if len(poly_terms) != 1:
                     return False
                 bound = lcm.degree_bound
-            acc = hc.g1_add(acc, hc.g1_mul(lcm.commitment.comm, c))
+            entries.append((c, lcm.commitment.comm))
         if const:
-            acc = hc.g1_add(acc, hc.g1_mul(vk.g, const))
-        virtual[lc.label] = (acc, bound)
+            entries.append((const, vk.g))
+        virtual[lc.label] = (entries, bound)
 
     groups = _group_query_set(query_set)
     if len(groups) != len(proof.proofs):
         return False
 
-    acc_h = None  # paired with h
-    acc_beta = None  # paired with beta_h
-    acc_bounds: dict = {}  # bound -> G1 accumulator paired with neg_h[bound]
+    h_pts: list = []  # slot paired with h
+    h_scals: list = []
+    beta_pts: list = []  # slot paired with beta_h
+    beta_scals: list = []
+    g_scalar = 0
+    gamma_scalar = 0
+    bound_msms: dict = {}  # bound -> (pts, scals) paired with neg_h[bound]
     for (pl, z, labels), pp_ in zip(groups, proof.proofs):
         u = rng.rand_fr()
         chi = 1
         for label in labels:
-            c_virt, bound = virtual[label]
+            entries, bound = virtual[label]
             if (label, z) not in evaluations:
                 return False
             v = evaluations[(label, z)]
             coeff = u * chi % R
             if bound is None:
-                acc_h = hc.g1_add(acc_h, hc.g1_mul(c_virt, coeff))
+                for c, pt in entries:
+                    h_pts.append(pt)
+                    h_scals.append(coeff * c % R)
             else:
-                acc_bounds[bound] = hc.g1_add(
-                    acc_bounds.get(bound), hc.g1_mul(c_virt, coeff)
-                )
+                b_pts, b_scals = bound_msms.setdefault(bound, ([], []))
+                for c, pt in entries:
+                    b_pts.append(pt)
+                    b_scals.append(coeff * c % R)
             # value (and blind eval) terms always live in the h slot
-            acc_h = hc.g1_add(acc_h, hc.g1_neg(hc.g1_mul(vk.g, coeff * v % R)))
+            g_scalar = (g_scalar - coeff * v) % R
             chi = chi * opening_challenge % R
         if pp_.random_v is not None:
-            acc_h = hc.g1_add(acc_h, hc.g1_neg(hc.g1_mul(vk.gamma_g, u * pp_.random_v % R)))
-        acc_h = hc.g1_add(acc_h, hc.g1_mul(pp_.w, u * z % R))
-        acc_beta = hc.g1_add(acc_beta, hc.g1_mul(pp_.w, u))
+            gamma_scalar = (gamma_scalar - u * pp_.random_v) % R
+        h_pts.append(pp_.w)
+        h_scals.append(u * z % R)
+        beta_pts.append(pp_.w)
+        beta_scals.append(u)
 
+    if not beta_pts:
+        return False
+    h_pts.append(vk.g)
+    h_scals.append(g_scalar)
+    if gamma_scalar:
+        h_pts.append(vk.gamma_g)
+        h_scals.append(gamma_scalar)
+    acc_h = hc.g1_msm(h_pts, h_scals)
+    acc_beta = hc.g1_msm(beta_pts, beta_scals)
     if acc_beta is None:
         return False
     pairs = [(acc_h, vk.h), (hc.g1_neg(acc_beta), vk.beta_h)]
-    for b, acc in acc_bounds.items():
-        pairs.append((acc, vk.get_neg_power(b)))
+    for b, (b_pts, b_scals) in bound_msms.items():
+        pairs.append((hc.g1_msm(b_pts, b_scals), vk.get_neg_power(b)))
     return hp.multi_pairing(pairs)
