@@ -1,16 +1,25 @@
 #!/usr/bin/env python
-"""Marlin prover benchmark — prints ONE JSON line.
+"""Marlin prove+verify benchmark — prints ONE JSON line.
 
 Methodology mirrors reference benches/bench.rs: DummyCircuit with
 `num_constraints` constraints / 10 witness variables, universal SRS sized
-(n, n, 3n), mean prover wall time over reps, reported as ns/constraint
-(benches/bench.rs:94-107).  PC scheme is the Marlin KZG10 variant.
+(n, n, 3n); prover = mean wall time over reps as ns/constraint
+(benches/bench.rs:94-107); verifier = mean of 50 verifies in ms
+(benches/bench.rs:111-159).  PC scheme is the Marlin KZG10 variant over
+BLS12-381.
 
-Env knobs: MARLIN_BENCH_CONSTRAINTS (default 2^14), MARLIN_BENCH_REPS
-(default 3).  `vs_baseline` compares against the reference's multi-threaded
-Xeon 6136 per-constraint time at 2^16 (BASELINE.md — the repo publishes
-graphs, not numbers; 25 µs/constraint is the documented estimate used
-here).  vs_baseline > 1 means faster than the reference baseline.
+FROZEN HEADLINE CONTRACT (longitudinally comparable across BENCH_r*.json):
+the headline metric is always `prover_ns_per_constraint@2^14` — the size
+never auto-shrinks and never silently substitutes a warmer size.  The
+backend may fall back to XLA:CPU when the TPU pool is down (the JSON line
+names the backend measured); everything else is pinned.
+
+Env knobs (extras, not the contract): MARLIN_BENCH_CONSTRAINTS overrides
+the size for ad-hoc runs, MARLIN_BENCH_REPS the rep count,
+MARLIN_BENCH_BACKEND=cpu|tpu skips the probe.  `vs_baseline` compares
+against the reference's multi-threaded Xeon 6136 per-constraint time at
+2^16 (BASELINE.md; the repo publishes graphs, not numbers; 25 µs/constraint
+is the documented estimate).  vs_baseline > 1 means faster than baseline.
 """
 
 import json
@@ -21,30 +30,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
 
 BASELINE_NS_PER_CONSTRAINT = 25_000.0
-
-
-def _warm_manifest(backend: str) -> str:
-    return os.path.expanduser(f"~/.cache/marlin_tpu_srs/bench_warm_{backend}.json")
-
-
-def _warm_sizes(backend: str) -> set:
-    try:
-        with open(_warm_manifest(backend)) as f:
-            return set(json.load(f).get("warm_log2", []))
-    except Exception:
-        return set()
-
-
-def _record_warm(backend: str, log2n: int) -> None:
-    try:
-        sizes = _warm_sizes(backend)
-        sizes.add(log2n)
-        path = _warm_manifest(backend)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as f:
-            json.dump({"warm_log2": sorted(sizes)}, f)
-    except Exception:
-        pass
+HEADLINE_LOG2 = 14
+VERIFY_REPS = 50
 
 
 def _probe_backend(timeout_s: int = 600) -> str:
@@ -76,7 +63,7 @@ def _probe_backend(timeout_s: int = 600) -> str:
 
 
 def main():
-    num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << 14))
+    num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << HEADLINE_LOG2))
     reps = int(os.environ.get("MARLIN_BENCH_REPS", 1))
 
     backend = _probe_backend()
@@ -114,30 +101,6 @@ def main():
         except Exception:
             pass
         jax.config.update("jax_platforms", "cpu")
-        # CPU can't absorb the 2^14 default inside a capture budget
-        if "MARLIN_BENCH_CONSTRAINTS" not in os.environ:
-            num_constraints = 1 << 12
-
-    # The one-time remote-compile cost of a cold size is hours on the
-    # tunneled TPU (BASELINE.md); a bench invocation that dies in compiles
-    # reports nothing.  Unless MARLIN_BENCH_STRICT=1 pins the requested
-    # size, fall back to the largest size a previous invocation completed
-    # end-to-end (recorded in the warm manifest) so a number is always
-    # captured; the emitted metric names the size it measured.
-    if os.environ.get("MARLIN_BENCH_STRICT") != "1" and backend == "tpu":
-        warm = _warm_sizes(backend)
-        want = num_constraints.bit_length() - 1
-        if warm and want not in warm:
-            le = [w for w in warm if w <= want]
-            best = max(le) if le else min(warm)
-            if best != want:
-                print(
-                    f"[bench] 2^{want} not warm; measuring warm 2^{best} instead "
-                    f"(MARLIN_BENCH_STRICT=1 to force)",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                num_constraints = 1 << best
 
     t0 = time.perf_counter()
 
@@ -168,17 +131,25 @@ def main():
 
     progress("warmup prove (compiles kernel shapes; cached across runs)")
     proof = Marlin.prove(pk, circ, rng)
-    progress("warmup verify")
-    assert Marlin.verify(vk, [a * b % P.R_MODULUS], proof, rng), "bench proof must verify"
+    public_input = [a * b % P.R_MODULUS]
+    assert Marlin.verify(vk, public_input, proof, rng), "bench proof must verify"
 
-    progress(f"timed region: {reps} rep(s)")
+    progress(f"timed prove region: {reps} rep(s)")
     start = time.perf_counter()
     for _ in range(reps):
         proof = Marlin.prove(pk, circ, rng)
     elapsed = time.perf_counter() - start
-    progress(f"done ({elapsed / reps:.2f} s/prove)")
+    progress(f"prove done ({elapsed / reps:.2f} s/prove)")
 
-    _record_warm(backend, num_constraints.bit_length() - 1)
+    # verifier: mean of 50, reference benches/bench.rs:23,144-157
+    progress(f"timed verify region: {VERIFY_REPS} reps")
+    vstart = time.perf_counter()
+    for _ in range(VERIFY_REPS):
+        ok = Marlin.verify(vk, public_input, proof, rng)
+    verify_ms = (time.perf_counter() - vstart) / VERIFY_REPS * 1e3
+    assert ok, "bench proof must verify"
+    progress(f"verify done ({verify_ms:.1f} ms/verify)")
+
     ns_per_constraint = elapsed / reps / num_constraints * 1e9
     print(
         json.dumps(
@@ -188,6 +159,8 @@ def main():
                 "unit": "ns/constraint",
                 "vs_baseline": round(BASELINE_NS_PER_CONSTRAINT / ns_per_constraint, 4),
                 "backend": backend,
+                "verify_ms_mean50": round(verify_ms, 2),
+                "proof_bytes": proof.serialized_size(),
             }
         )
     )
