@@ -18,22 +18,29 @@ Q = P.Q_MODULUS
 
 
 class _FieldOps:
-    """Function table so the group law is written once for Fq and Fq2."""
+    """Function table so the group law is written once for Fq and Fq2.
 
-    def __init__(self, add, sub, mul, sqr, inv, neg, zero, one, scalar):
+    `a` is the short-Weierstrass a-coefficient OF THE CURVE THIS TABLE
+    SERVES: the base curve's a for Fq, the twist's a' for Fq2 (they differ
+    whenever a != 0 — the MNT family; see curve_generic.GenericCurve)."""
+
+    def __init__(self, add, sub, mul, sqr, inv, neg, zero, one, scalar, a):
         self.add, self.sub, self.mul, self.sqr = add, sub, mul, sqr
         self.inv, self.neg, self.zero, self.one = inv, neg, zero, one
         self.scalar = scalar  # int -> field element
+        self.a = a
 
 
 FQ_OPS = _FieldOps(
     hp.fq_add, hp.fq_sub, hp.fq_mul, lambda a: a * a % Q,
     hp.fq_inv, hp.fq_neg, 0, 1, lambda s: s % Q,
+    a=P.CURVE_A % Q,
 )
 
 FQ2_OPS = _FieldOps(
     hp.fq2_add, hp.fq2_sub, hp.fq2_mul, hp.fq2_sqr,
     hp.fq2_inv, hp.fq2_neg, hp.FQ2_ZERO, hp.FQ2_ONE, lambda s: (s % Q, 0),
+    a=tuple(c % Q for c in getattr(P, "CURVE_A_TWIST", (0, 0))),
 )
 
 
@@ -48,8 +55,9 @@ def _affine_add(f: _FieldOps, p, q):
         if y1 != y2 or y1 == f.zero:
             return None
         # doubling: lam = (3 x^2 + a) / (2 y) — general short-Weierstrass a
-        # (the MNT curve family has a != 0; BLS12/BN have a == 0)
-        num = f.add(f.mul(f.scalar(3), f.sqr(x1)), f.scalar(P.CURVE_A))
+        # taken from the ops table (base a for G1, twist a' for G2; the
+        # MNT curve family has a != 0, BLS12/BN have a == 0)
+        num = f.add(f.mul(f.scalar(3), f.sqr(x1)), f.a)
         lam = f.mul(num, f.inv(f.mul(f.scalar(2), y1)))
     else:
         lam = f.mul(f.sub(y2, y1), f.inv(f.sub(x2, x1)))
@@ -352,7 +360,11 @@ def g2_is_on_curve(p) -> bool:
     if p is None:
         return True
     x, y = p
+    # y^2 = x^3 + a'x + b' on the twist (a' from the ops table; zero for
+    # all BLS12/BN curves, nonzero for the MNT family)
     rhs = hp.fq2_add(hp.fq2_mul(hp.fq2_sqr(x), x), (P.CURVE_B_TWIST[0], P.CURVE_B_TWIST[1]))
+    if FQ2_OPS.a != hp.FQ2_ZERO:
+        rhs = hp.fq2_add(rhs, hp.fq2_mul(FQ2_OPS.a, x))
     return hp.fq2_sqr(y) == rhs
 
 

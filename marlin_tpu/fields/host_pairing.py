@@ -390,17 +390,32 @@ def fq2_pow(a, e: int):
     return r
 
 
-_XI = (1, 1)
-_FROB_V = fq2_pow(_XI, (Q - 1) // 3)
-_FROB_W = fq2_pow(_XI, (Q - 1) // 6)
-_FROB_GAMMA = [
-    [fq2_mul(fq2_pow(_FROB_V, i), fq2_pow(_FROB_W, j)) for i in range(3)]
-    for j in range(2)
-]
+# The Frobenius/final-exp constants below are specific to the BLS12-381
+# tower (xi = 1 + u, sextic M-twist, 3 | q-1 and 6 | q-1); computing them
+# under another active curve would silently export wrong-semantics values
+# (ADVICE r2), so they are gated — non-BLS curves route through the
+# config-driven engine at the bottom of this module and never touch them.
+_IS_BLS381 = getattr(P, "CURVE_NAME", "bls12_381") == "bls12_381"
+
+if _IS_BLS381:
+    _XI = (1, 1)
+    _FROB_V = fq2_pow(_XI, (Q - 1) // 3)
+    _FROB_W = fq2_pow(_XI, (Q - 1) // 6)
+    _FROB_GAMMA = [
+        [fq2_mul(fq2_pow(_FROB_V, i), fq2_pow(_FROB_W, j)) for i in range(3)]
+        for j in range(2)
+    ]
+else:  # pragma: no cover - trap for accidental BLS-tower use
+    _XI = _FROB_V = _FROB_W = _FROB_GAMMA = None
 
 
 def fq12_frob(a):
-    """The q-power Frobenius map (one application)."""
+    """The q-power Frobenius map (one application; BLS12-381 tower only)."""
+    if _FROB_GAMMA is None:
+        raise RuntimeError(
+            "fq12_frob is specialised to the BLS12-381 tower; use "
+            "fields/pairing_generic.py for other curves"
+        )
     return tuple(
         tuple(
             fq2_mul(fq2_conj(six[i]), _FROB_GAMMA[j][i]) for i in range(3)
@@ -413,8 +428,11 @@ def fq12_frob(a):
 # m^(q^i) = frob^i(m), m^d = prod_i frob^i(m^{d_i}) — 4 exponentiations of
 # ~381/381/381/126 bits instead of one ~4317-bit ladder (~3.4x fewer
 # squarings), derived numerically so no hand-copied addition chain can rot.
-_HARD = (Q**4 - Q**2 + 1) // P.R_MODULUS
-_HARD_DIGITS = [(_HARD // Q**i) % Q for i in range(3)] + [_HARD // Q**3]
+if _IS_BLS381:
+    _HARD = (Q**4 - Q**2 + 1) // P.R_MODULUS
+    _HARD_DIGITS = [(_HARD // Q**i) % Q for i in range(3)] + [_HARD // Q**3]
+else:  # pragma: no cover
+    _HARD = _HARD_DIGITS = None
 
 
 def final_exponentiation(f):

@@ -99,6 +99,54 @@ def _jac_add_planes(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
     return X3, Y3, Z3
 
 
+def _jac_madd_planes(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
+    """Mixed addition: Jacobian (X1,Y1,Z1) + affine-form (X2,Y2,Z2∈{0,1}).
+
+    The general add with Z2 = 1 substituted: U1 = X1, S1 = Y1, and
+    Z3 = 2·Z1·H — 11 Montgomery muls instead of 16.  Bit-identical to
+    _jac_add_planes on affine-form inputs (Montgomery muls by one_mont are
+    exact identities and 2·Z1·H equals the general ((Z1+Z2)²-Z1Z1-Z2Z2)·H
+    reduction), which the bucket matrix guarantees: gathered SRS points
+    carry Z ∈ {0, 1}.  Identity slots (Z2 = 0) are handled by the q_inf
+    select exactly as in the general kernel."""
+    mul = lambda a, b: core.mm_mul(a, b, n_tuple, np0)
+    add = lambda a, b: core.mm_add(a, b, n_tuple)
+    sub = lambda a, b: core.mm_sub(a, b, n_tuple)
+
+    Z1Z1 = mul(Z1, Z1)
+    U2 = mul(X2, Z1Z1)
+    A2 = mul(Y2, Z1)
+    S2 = mul(A2, Z1Z1)
+    H = sub(U2, X1)
+    HH = add(H, H)
+    S2S1 = sub(S2, Y1)
+    r = add(S2S1, S2S1)
+    I = mul(HH, HH)
+    rsq = mul(r, r)
+    Z3 = mul(add(Z1, Z1), H)
+    J = mul(H, I)
+    V = mul(X1, I)
+    X3 = sub(sub(rsq, J), add(V, V))
+    S1J = mul(Y1, J)
+    rVX = mul(r, sub(V, X3))
+    Y3 = sub(rVX, add(S1J, S1J))
+
+    h_zero = core.mm_is_zero(H)
+    r_zero = core.mm_is_zero(S2S1)
+    p_inf = core.mm_is_zero(Z1)
+    q_inf = core.mm_is_zero(Z2)
+
+    dX, dY, dZ = _jac_double_planes(X1, Y1, Z1, n_tuple, np0)
+    use_dbl = h_zero & r_zero & ~p_inf & ~q_inf
+    X3 = core.mm_select(use_dbl, dX, X3)
+    Y3 = core.mm_select(use_dbl, dY, Y3)
+    Z3 = core.mm_select(use_dbl, dZ, Z3)
+    X3 = core.mm_select(q_inf, X1, core.mm_select(p_inf, X2, X3))
+    Y3 = core.mm_select(q_inf, Y1, core.mm_select(p_inf, Y2, Y3))
+    Z3 = core.mm_select(q_inf, Z1, core.mm_select(p_inf, Z2, Z3))
+    return X3, Y3, Z3
+
+
 def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, *, n_tuple, np0):
     X3, Y3, Z3 = _jac_add_planes(
         x1[:], y1[:], z1[:], x2[:], y2[:], z2[:], n_tuple, np0
@@ -222,7 +270,8 @@ def _fold_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, nsteps):
 
     @pl.when(j > 0)
     def _accum():
-        A, B, C = _jac_add_planes(ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0)
+        # slot points are affine-form (Z ∈ {0,1}): mixed add, 11 muls
+        A, B, C = _jac_madd_planes(ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0)
         ox[:], oy[:], oz[:] = A, B, C
 
     @pl.when(j == nsteps - 1)

@@ -98,8 +98,8 @@ def _scatter_sum_mod(prods: jnp.ndarray, seg_ids: jnp.ndarray, _unused, num_segm
 def spmv(m: CooMatrix, z: jnp.ndarray, out_len: int | None = None) -> jnp.ndarray:
     """M @ z -> [out_len, 16] (out_len defaults to num_rows).
 
-    Requires per-row nnz < 2^16 (limb accumulation headroom) — asserted at
-    matrix build time in the indexer.
+    Exact up to 2^24 contributions per row (byte-plane accumulation above);
+    the indexer gates total joint nnz at 2^24 accordingly.
     """
     out_len = out_len or m.num_rows
     prods = fr.mul(m.vals, z[m.cols])

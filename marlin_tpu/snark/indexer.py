@@ -112,9 +112,14 @@ def index_circuit(circuit) -> Index:
 
     joint_arith = arithmetize_matrix(joint, a_rows, b_rows, c_rows, domain_k, domain_h, domain_x)
 
-    max_row_nnz = max((len(r) for r in joint), default=0)
-    if max_row_nnz >= (1 << 16):
-        raise IndexingError("per-row nnz exceeds segment-sum accumulation headroom")
+    # The byte-plane segment sums (ops/sparse._scatter_sum_mod) are exact up
+    # to 2^24 contributions per segment — and a segment can receive at most
+    # the whole matrix, so the real capacity gate is on total joint nnz.
+    # (A per-row fan-in above 2^16 is fine: tests/test_sparse_flood.py.)
+    if nnz >= (1 << 24):
+        raise IndexingError(
+            "joint nnz exceeds the byte-plane segment-sum capacity (2^24)"
+        )
 
     n = num_variables
 

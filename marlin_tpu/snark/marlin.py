@@ -255,6 +255,8 @@ class Marlin:
             ValueError,
             KeyError,
             IndexError,
+            AssertionError,  # protocol-path asserts (domain divisibility,
+            # power-of-two plans) reachable from decodable-but-bogus proofs
             kzg.PCError,
             verifier_mod.VerifierError,
             lc_mod.LcError,

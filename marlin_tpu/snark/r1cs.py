@@ -14,12 +14,13 @@ Reproduced surface (SURVEY.md §2b row 5):
     goal — the mode Marlin uses, src/ahp/indexer.rs:156),
   * `to_matrices()` -> sparse rows of (coeff, col) sorted by column.
 
-Outlining semantics: symbolic LCs are outlined into a fresh witness w plus a
-constraint `lc * 1 = w` when reused (>=2 references) or when a multi-term LC
-feeds another LC (the chain shape ark-relations' OutlineTestCircuit —
-reference src/test.rs:53-114 — is designed to trigger).  The exact
-heuristic threshold is framework-defined; both indexer and prover run the
-same deterministic pass, which is the invariant Marlin needs
+Outlining semantics follow ark-relations 0.3's `outline_lcs` nnz cost
+model: an LC is outlined into a fresh witness w plus a constraint
+`lc * 1 = w` iff  t*l > t + 2 + l  with t = (#references from other LCs)+1
+and l = the inlined length (see `_outline_lcs`).  Row LCs (t = 1) never
+outline; the chain shape of ark-relations' OutlineTestCircuit (reference
+src/test.rs:53-114) outlines exactly at inlined length 5.  Both indexer
+and prover run the same deterministic pass — the invariant Marlin needs
 (num_constraints / num_non_zero must agree between index and prove).
 """
 
@@ -161,54 +162,87 @@ class ConstraintSystem:
         return acc
 
     def finalize(self) -> None:
-        """Expand symbolic LC references (inlining or Weight-goal outlining)."""
+        """Expand symbolic LC references (reference `ics.finalize()` reached
+        at src/ahp/indexer.rs:165 / src/ahp/prover.rs:225): inlining for the
+        Constraints goal, ark-relations 0.3 `outline_lcs` for the Weight
+        goal (the mode Marlin uses, src/ahp/indexer.rs:156)."""
         if self.finalized:
             return
         self.finalized = True
-        outline = self.optimization_goal == OptimizationGoal.WEIGHT
+        if self.optimization_goal == OptimizationGoal.WEIGHT:
+            self._outline_lcs()
+        else:
+            self._inline_all_lcs()
 
-        # usage count of each symbolic LC: references from constraint rows
-        # and from other LCs' terms
-        uses = [0] * len(self.lc_map)
-        for rows in (self.a_rows, self.b_rows, self.c_rows):
-            for i in rows:
-                uses[i] += 1
-        referenced_by_lc = [False] * len(self.lc_map)
+    def _inline_flat(self, expanded: list, terms: list) -> list:
+        flat: list = []
+        for coeff, var in terms:
+            kind, idx = var
+            if kind == SYMBOLIC:
+                flat.extend((coeff * c2 % R, v2) for c2, v2 in expanded[idx])
+            else:
+                flat.append((coeff, var))
+        return _merge(flat)
+
+    def _inline_all_lcs(self) -> None:
+        """ark-relations `inline_all_lcs` (Constraints goal): substitute every
+        symbolic reference in creation order."""
+        expanded: list = [None] * len(self.lc_map)
+        for i, terms in enumerate(self.lc_map):
+            expanded[i] = self._inline_flat(expanded, terms)
+        self.lc_map = expanded
+
+    def _outline_lcs(self) -> None:
+        """ark-relations 0.3 `outline_lcs` (Weight goal).
+
+        Walk the LC map in creation order (LCs only reference earlier LCs).
+        For each LC: substitute already-transformed references, compactify,
+        then dedicate a fresh witness iff the nnz cost favors it —
+
+            t * l > t + 2 + l
+
+        where t = (#references from other LCs) + 1 and l = the inlined
+        length: `t*l` is the inlined cost at every use site; outlining
+        costs one `lc * 1 = w` constraint (l + 2 entries) plus one entry
+        per use.  Row LCs have t = 1 and never outline.  Outlined LCs are
+        replaced by `1*w` everywhere; the equality constraints are appended
+        after the map transformation, in outline order.
+
+        Semantics reconstructed from ark-relations 0.3's cost model and
+        pinned by golden counts on the reference's fixture circuits
+        (tests/test_r1cs.py) — including OutlineTestCircuit
+        (reference src/test.rs:53-114), whose 10-term bucket chains outline
+        exactly at inlined length 5.
+        """
+        n = len(self.lc_map)
+        # references from other LCs' terms only (ark lc_num_times_used(false));
+        # uses as constraint rows are represented by the row LCs themselves
+        num_times_used = [0] * n
         for terms in self.lc_map:
             for _, (kind, idx) in terms:
                 if kind == SYMBOLIC:
-                    uses[idx] += 1
-                    referenced_by_lc[idx] = True
+                    num_times_used[idx] += 1
 
-        expanded: list = [None] * len(self.lc_map)
-        extra_constraints: list = []  # (expanded_lc_terms, witness_var)
+        transformed: list = [None] * n
+        outlined: list = []  # (inlined_terms, witness_var) in outline order
         for i, terms in enumerate(self.lc_map):
-            flat: list = []
-            for coeff, var in terms:
-                kind, idx = var
-                if kind == SYMBOLIC:
-                    flat.extend((coeff * c2 % R, v2) for c2, v2 in expanded[idx])
-                else:
-                    flat.append((coeff, var))
-            flat = _merge(flat)
-            should_outline = outline and (
-                uses[i] >= 2 or (referenced_by_lc[i] and len(flat) >= 3)
-            )
-            if should_outline:
+            flat = self._inline_flat(transformed, terms)
+            t = num_times_used[i] + 1
+            l = len(flat)
+            if t * l > t + 2 + l:
                 idx_w = self.num_witness_variables
                 self.num_witness_variables += 1
                 if not self.is_setup:
                     self.witness_assignment.append(self._eval_lc_terms(flat))
                 w_var = (WITNESS, idx_w)
-                extra_constraints.append((flat, w_var))
-                expanded[i] = [(1, w_var)]
-            else:
-                expanded[i] = flat
+                outlined.append((flat, w_var))
+                flat = [(1, w_var)]
+            transformed[i] = flat
 
-        self.lc_map = expanded
-        # append outlining constraints: lc * 1 = w
-        for flat, w_var in extra_constraints:
-            self.lc_map.append(flat)
+        self.lc_map = transformed
+        # append the equality constraints: lc * 1 = w
+        for flat, w_var in outlined:
+            self.lc_map.append(list(flat))
             ai = len(self.lc_map) - 1
             self.lc_map.append([(1, VAR_ONE)])
             bi = len(self.lc_map) - 1

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import active as P
+from ..fields import host_curve as hc
 from . import kzg
 
 
@@ -67,6 +68,35 @@ def _limbs_to_g2_list(arr: np.ndarray) -> list:
     return out
 
 
+def _require_g1(p, what: str, subgroup: bool = False):
+    """Range + on-curve (+ optional subgroup) validation for a decoded G1
+    point — the reference's CanonicalDeserialize validates on decode, so a
+    tampered key archive must not be accepted silently (ADVICE r2)."""
+    if p is None:
+        return None
+    q = P.Q_MODULUS
+    if not (0 <= p[0] < q and 0 <= p[1] < q):
+        raise ValueError(f"{what}: coordinate out of range")
+    if not hc.g1_is_on_curve(p):
+        raise ValueError(f"{what}: point not on curve")
+    if subgroup and not hc.g1_in_subgroup(p):
+        raise ValueError(f"{what}: point not in the prime-order subgroup")
+    return p
+
+
+def _require_g2(p, what: str):
+    if p is None:
+        return None
+    q = P.Q_MODULUS
+    for pair in p:
+        for c in pair:
+            if not (0 <= c < q):
+                raise ValueError(f"{what}: coordinate out of range")
+    if not hc.g2_is_on_curve(p):
+        raise ValueError(f"{what}: point not on curve")
+    return p
+
+
 def load_srs(path: str) -> kzg.UniversalParams:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
@@ -74,7 +104,7 @@ def load_srs(path: str) -> kzg.UniversalParams:
         pgg = tuple(jnp.asarray(z[f"pgg_{a}"]) for a in "xyz")
         neg_h = _limbs_to_g2_list(z["neg_h"]) if "neg_h" in z else None
     to_int = lambda v: int(v)
-    return kzg.UniversalParams(
+    pp = kzg.UniversalParams(
         powers_of_g=pg,
         powers_of_gamma_g=pgg,
         g=tuple(to_int(v) for v in meta["g"]),
@@ -86,6 +116,30 @@ def load_srs(path: str) -> kzg.UniversalParams:
         ],
         neg_powers_of_h=neg_h,
     )
+    _require_g1(pp.g, "srs.g")
+    _require_g1(pp.gamma_g, "srs.gamma_g")
+    _require_g2(pp.h, "srs.h")
+    _require_g2(pp.beta_h, "srs.beta_h")
+    for i, hp_ in enumerate(pp.host_gamma_powers or []):
+        _require_g1(hp_, f"srs.host_gamma_powers[{i}]")
+    for i, nh in enumerate(pp.neg_powers_of_h or []):
+        _require_g2(nh, f"srs.neg_powers_of_h[{i}]")
+    _validate_powers_on_curve(pg, "srs.powers_of_g")
+    _validate_powers_on_curve(pgg, "srs.powers_of_gamma_g")
+    return pp
+
+
+def _validate_powers_on_curve(pt, what: str) -> None:
+    """On-curve check for a device point batch in affine form (Z in {0,1}):
+    y^2 == x^3 + b wherever Z != 0, one vectorized device pass."""
+    from ..ops import fq
+
+    X, Y, Z = pt
+    lhs = fq.sqr(Y)
+    rhs = fq.add(fq.mul(fq.sqr(X), X), fq.from_ints([P.CURVE_B])[0])
+    ok = fq.is_zero(fq.sub(lhs, rhs)) | fq.is_zero(Z)
+    if not bool(jnp.all(ok)):
+        raise ValueError(f"{what}: off-curve point in archive")
 
 
 # --------------------------------------------------------------------------
@@ -102,10 +156,14 @@ def _comm_to_meta(c) -> dict:
 
 
 def _comm_from_meta(m) -> "kzg.Commitment":
-    return kzg.Commitment(
+    c = kzg.Commitment(
         comm=tuple(int(v) for v in m["comm"]) if m["comm"] else None,
         shifted_comm=tuple(int(v) for v in m["shifted"]) if m["shifted"] else None,
     )
+    # commitments feed pairings: require full subgroup membership on decode
+    _require_g1(c.comm, "index_comm", subgroup=True)
+    _require_g1(c.shifted_comm, "index_comm.shifted", subgroup=True)
+    return c
 
 
 def _vk_meta(vk) -> dict:
@@ -142,16 +200,20 @@ def _vk_from_meta(m):
     tup = lambda v: tuple(int(x) for x in v)
     g2 = lambda v: (tup(v[0]), tup(v[1]))
     if m["flavor"] == "sonic":
-        return sonic_mod.SonicVerifierKey(
-            g=tup(m["g"]),
-            gamma_g=tup(m["gamma_g"]),
-            h=g2(m["h"]),
-            beta_h=g2(m["beta_h"]),
-            neg_h_powers={int(b): g2(p) for b, p in m["neg_h_powers"].items()},
+        svk = sonic_mod.SonicVerifierKey(
+            g=_require_g1(tup(m["g"]), "vk.g"),
+            gamma_g=_require_g1(tup(m["gamma_g"]), "vk.gamma_g"),
+            h=_require_g2(g2(m["h"]), "vk.h"),
+            beta_h=_require_g2(g2(m["beta_h"]), "vk.beta_h"),
+            neg_h_powers={
+                int(b): _require_g2(g2(p), f"vk.neg_h_powers[{b}]")
+                for b, p in m["neg_h_powers"].items()
+            },
             supported_degree=m["supported_degree"],
             max_degree=m["max_degree"],
         )
-    return kzg.VerifierKey(
+        return svk
+    vk = kzg.VerifierKey(
         g=tup(m["g"]),
         gamma_g=tup(m["gamma_g"]),
         h=g2(m["h"]),
@@ -160,6 +222,13 @@ def _vk_from_meta(m):
         supported_degree=m["supported_degree"],
         max_degree=m["max_degree"],
     )
+    _require_g1(vk.g, "vk.g")
+    _require_g1(vk.gamma_g, "vk.gamma_g")
+    _require_g2(vk.h, "vk.h")
+    _require_g2(vk.beta_h, "vk.beta_h")
+    for b, p in vk.shift_powers.items():
+        _require_g1(p, f"vk.shift_powers[{b}]")
+    return vk
 
 
 def save_index_vk(vk, path: str) -> None:

@@ -95,3 +95,15 @@ def test_proof_size(srs):
     assert stats["num_opening_proofs"] == 2
     # same ballpark as the reference's 880-byte MarlinKZG10 proofs
     assert stats["argument_size_bytes"] < 1200
+
+
+@pytest.mark.slow
+def test_square_matrix_soak(srs, monkeypatch):
+    """Default-on randomness soak (reference src/test.rs:132-163 runs every
+    shape 100x with fresh witnesses): 10 fresh-witness iterations of the
+    square shape with the debug zero-LC/degree asserts armed — covering
+    rejection sampling, bucket-layout skew, and spill-fallback paths that
+    the cached-kernel argument does not.  MARLIN_TPU_SOAK_ITERS still
+    scales every shape test higher on demand."""
+    monkeypatch.setenv("MARLIN_TPU_DEBUG_CHECKS", "1")
+    _test_circuit(srs, 25, 25, iterations=10)

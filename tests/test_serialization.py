@@ -72,3 +72,55 @@ def test_index_key_roundtrip():
         pk3 = serial.load_index_pk(pk_path, srs=srs)
     proof3 = Marlin.prove(pk3, circ, rng)
     assert Marlin.verify(vk, [a * b % R], proof3, rng)
+
+
+def test_tampered_vk_archive_rejected():
+    """Key archives validate on decode (reference CanonicalDeserialize
+    semantics): an off-curve commitment or vk point must raise, not load."""
+    import json
+
+    import numpy as np
+
+    rng = test_rng()
+    srs = Marlin.universal_setup(60, 60, 3 * 60, rng)
+    circ = DummyCircuit(3, 9, num_variables=10, num_constraints=30)
+    pk, vk = Marlin.index(srs, circ)
+    with tempfile.TemporaryDirectory() as d:
+        vk_path = os.path.join(d, "vk.npz")
+        serial.save_index_vk(vk, vk_path)
+        with np.load(vk_path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+        # flip a commitment x-coordinate off the curve
+        meta["index_comms"][0]["comm"][0] = int(meta["index_comms"][0]["comm"][0]) ^ 1
+        np.savez(vk_path, meta=json.dumps(meta, default=str))
+        with pytest.raises(ValueError):
+            serial.load_index_vk(vk_path)
+
+        # and a tampered verifier-key point
+        serial.save_index_vk(vk, vk_path)
+        with np.load(vk_path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+        meta["verifier_key"]["g"][1] = int(meta["verifier_key"]["g"][1]) ^ 1
+        np.savez(vk_path, meta=json.dumps(meta, default=str))
+        with pytest.raises(ValueError):
+            serial.load_index_vk(vk_path)
+
+
+def test_tampered_srs_archive_rejected():
+    rng = test_rng()
+    srs = Marlin.universal_setup(40, 40, 3 * 40, rng)
+    import json
+
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "srs.npz")
+        serial.save_srs(srs, path)
+        with np.load(path, allow_pickle=False) as z:
+            arrays = {k: z[k] for k in z.files}
+            meta = json.loads(str(z["meta"]))
+        meta["beta_h"][0][0] = int(meta["beta_h"][0][0]) ^ 1
+        arrays["meta"] = json.dumps(meta, default=str)
+        np.savez(path, **arrays)
+        with pytest.raises(ValueError):
+            serial.load_srs(path)
