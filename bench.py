@@ -126,18 +126,49 @@ def main():
     max_degree = ahp.max_degree(num_constraints, num_constraints, 3 * num_constraints)
     progress(f"loading/generating SRS (max_degree {max_degree})")
     srs = serial.cached_srs(max_degree, rng)
-    progress("indexing")
-    pk, vk = Marlin.index(srs, circ)
+
+    # Index keys are deterministic artifacts of (curve, circuit) — cache them
+    # like the SRS.  On the tunneled TPU, compiled executables do NOT persist
+    # across processes, so re-indexing costs ~30 min of trace/compile per
+    # invocation; loading the npz skips that entirely.
+    idx_dir = os.path.expanduser("~/.cache/marlin_tpu_srs")
+    idx_key = f"bench_idx_{num_constraints}"
+    pk_path = os.path.join(idx_dir, f"{idx_key}_pk.npz")
+    vk_path = os.path.join(idx_dir, f"{idx_key}_vk.npz")
+    if os.path.exists(pk_path) and os.path.exists(vk_path):
+        progress("loading cached index keys")
+        pk = serial.load_index_pk(pk_path, srs=srs)
+        vk = serial.load_index_vk(vk_path)
+    else:
+        progress("indexing")
+        pk, vk = Marlin.index(srs, circ)
+        try:
+            serial.save_index_pk(pk, pk_path, include_srs=False)
+            serial.save_index_vk(vk, vk_path)
+        except Exception as e:  # cache failure must not kill the capture
+            print(f"[bench] index cache write failed: {e}", file=sys.stderr)
+
+    def prove_with_retry():
+        # the axon tunnel's remote_compile can drop mid-request; the backend
+        # usually survives, so retry in-process (keeps warm kernels) before
+        # the outer retry loop restarts the whole process
+        for attempt in range(3):
+            try:
+                return Marlin.prove(pk, circ, rng)
+            except Exception as e:
+                if "remote_compile" not in str(e) or attempt == 2:
+                    raise
+                print(f"[bench] tunnel hiccup, in-process retry: {e}", file=sys.stderr)
 
     progress("warmup prove (compiles kernel shapes; cached across runs)")
-    proof = Marlin.prove(pk, circ, rng)
+    proof = prove_with_retry()
     public_input = [a * b % P.R_MODULUS]
     assert Marlin.verify(vk, public_input, proof, rng), "bench proof must verify"
 
     progress(f"timed prove region: {reps} rep(s)")
     start = time.perf_counter()
     for _ in range(reps):
-        proof = Marlin.prove(pk, circ, rng)
+        proof = prove_with_retry()
     elapsed = time.perf_counter() - start
     progress(f"prove done ({elapsed / reps:.2f} s/prove)")
 

@@ -38,5 +38,7 @@ try:
         MarlinError,
         PolynomialCommitmentError,
     )
-except ImportError:  # pragma: no cover - during incremental bring-up
+except (ImportError, AttributeError):  # pragma: no cover
+    # AttributeError: Fr-only configs (fields/test_wide750.py) have no curve
+    # layer; the AHP modules remain importable individually.
     Marlin = None

@@ -1,0 +1,184 @@
+"""Wide-limb (750-bit, 48-limb) low-2-adicity field: constants + AHP e2e.
+
+The reference benches MNT4/6-753 — 753-bit low-2-adicity fields on ark's
+MixedRadix domain path (benches/bench.rs:5-11,161-175).  Those parameter
+sets are unobtainable offline, so fields/test_wide750.py carries a
+first-principles synthetic field of the same shape; this file (a) re-derives
+its structure (primality, exact adicities, subgroup-root orders) and
+(b) runs the full 3-round AHP — the information-theoretic core that never
+touches curve points (SURVEY.md §1 row 2) — at 2^14 constraints over
+mixed-radix domains with 48-limb Montgomery kernels, checking the two
+sumcheck linear combinations evaluate to zero (the verifier's equations,
+reference src/ahp/mod.rs:110-221).
+"""
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+from marlin_tpu.fields import test_wide750 as W
+
+M_STRUCT = (1 << 13) * 3**4
+
+
+def _is_probable_prime(n: int, rounds: int = 64) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    rng = random.Random(0xC0FFEE)
+    for _ in range(rounds):
+        a = rng.randrange(2, n - 1)
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def test_constants_rederived():
+    r = W.R_MODULUS
+    assert r.bit_length() == 750
+    assert _is_probable_prime(r)
+    # exact adicities: r - 1 = 2^13 * 3^4 * t, gcd(t, 6) = 1
+    t = r - 1
+    for _ in range(13):
+        assert t % 2 == 0
+        t //= 2
+    assert t % 2 == 1
+    for _ in range(4):
+        assert t % 3 == 0
+        t //= 3
+    assert t % 3 != 0
+    # subgroup roots have full order
+    w2 = W.FR_TWO_ADIC_ROOT_OF_UNITY
+    assert pow(w2, 1 << 13, r) == 1 and pow(w2, 1 << 12, r) != 1
+    u = W.FR_LARGE_SUBGROUP_ROOT_OF_UNITY
+    assert pow(u, M_STRUCT, r) == 1
+    assert pow(u, M_STRUCT // 2, r) != 1 and pow(u, M_STRUCT // 3, r) != 1
+    # Montgomery parameters
+    assert W.FR_MONT_R == (1 << 768) % r
+    assert (W.FR_MONT_INV * r + 1) % (1 << 768) == 0
+
+
+_AHP_PROG = r"""
+import sys
+sys.path.insert(0, "tests")
+import os
+n = int(os.environ["WIDE_N"])
+
+from circuits import DummyCircuit
+from marlin_tpu.fields import active as P
+from marlin_tpu.ops import fr
+from marlin_tpu.snark import ahp
+from marlin_tpu.snark import lc as lc_mod
+from marlin_tpu.snark import prover as prover_mod
+from marlin_tpu.snark import verifier as verifier_mod
+from marlin_tpu.snark.domains import MixedRadixDomain
+from marlin_tpu.snark.fs import FiatShamirRng
+from marlin_tpu.snark.indexer import index_circuit
+from marlin_tpu.snark.prover import LabeledPoly
+from marlin_tpu.utils.rand import test_rng
+
+assert P.CURVE_NAME == "test_wide750"
+assert fr.L == 48, fr.L  # 48-limb kernels engaged
+
+# 48-limb Montgomery kernel sanity against host ints
+rng = test_rng()
+a, b = rng.rand_fr(), rng.rand_fr()
+got = fr.to_ints(fr.mul(fr.from_ints([a]), fr.from_ints([b])))[0]
+assert got == a * b % P.R_MODULUS
+got = fr.to_ints(fr.inv(fr.from_ints([a])))[0]
+assert got == pow(a, -1, P.R_MODULUS)
+print("48-limb kernels ok", flush=True)
+
+x, y = rng.rand_fr(), rng.rand_fr()
+circ = DummyCircuit(x, y, num_variables=10, num_constraints=n)
+idx = index_circuit(circ)
+if n > (1 << 13):
+    # above the field's 2-adicity every protocol domain must be mixed-radix
+    assert isinstance(idx.domain_h, MixedRadixDomain), idx.domain_h
+    assert isinstance(idx.domain_k, MixedRadixDomain), idx.domain_k
+print("index done: |H| =", idx.domain_h.size, "|K| =", idx.domain_k.size, flush=True)
+
+state = prover_mod.prover_init(idx, circ)
+public_input = state.public_input()
+fs = FiatShamirRng(b"MARLIN-2019-wide750" + idx.index_info.to_bytes())
+
+first_oracles, state = prover_mod.prover_first_round(state, rng)
+ver_first, ver_state = verifier_mod.verifier_first_round(idx.index_info, fs)
+second_oracles, state = prover_mod.prover_second_round(ver_first, state, rng)
+ver_second, ver_state = verifier_mod.verifier_second_round(ver_state, fs)
+third_oracles = prover_mod.prover_third_round(ver_second, state, rng)
+ver_state = verifier_mod.verifier_third_round(ver_state, fs)
+print("three AHP rounds done", flush=True)
+
+polys = {}
+for label, coeffs, bound in idx.iter_polys():
+    polys[label] = LabeledPoly(label, coeffs, bound, None)
+for oracles in (first_oracles, second_oracles, third_oracles):
+    polys.update(oracles)
+
+query_set, ver_state = verifier_mod.verifier_query_set(ver_state)
+provider = lc_mod.PolyEvaluationsProvider(polys)
+lc_s = lc_mod.construct_linear_combinations(public_input, provider, ver_state)
+checked = 0
+for label, (_pl, point) in query_set:
+    the_lc = next(l for l in lc_s if l.label == label)
+    ev = provider.get_lc_eval(the_lc, point)
+    if label in ahp.LC_WITH_ZERO_EVAL:
+        assert ev == 0, f"{label} sumcheck LC nonzero at its query point"
+        checked += 1
+assert checked == 2
+print("OK: outer+inner sumcheck identities hold over mixed domains", flush=True)
+"""
+
+
+def _run_ahp(n: int, timeout: int) -> str:
+    env = dict(
+        os.environ,
+        MARLIN_TPU_CURVE="test_wide750",
+        WIDE_N=str(n),
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        TF_CPP_MIN_LOG_LEVEL="3",
+        MARLIN_TPU_XLA_CACHE="",
+        MARLIN_TPU_DEBUG_CHECKS="1",
+        MARLIN_TPU_FUSE_ROUNDS="0",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _AHP_PROG],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-3000:])
+    return out.stdout
+
+
+def test_ahp_wide750_small():
+    """Fast tier: 2^8 constraints — mixed domains, 48-limb kernels."""
+    assert "OK" in _run_ahp(1 << 8, timeout=900)
+
+
+@pytest.mark.slow
+def test_ahp_wide750_2_14():
+    """The MNT-753-class capability at bench scale: 2^14 constraints on a
+    750-bit field whose every domain is mixed-radix (reference rows
+    benches/bench.rs:161-175)."""
+    assert "OK" in _run_ahp(1 << 14, timeout=3600)
