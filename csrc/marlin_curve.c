@@ -1001,6 +1001,160 @@ void marlin_final_exp(const uint64_t *f_limbs /*72*/, const uint64_t *hard_digit
     fp12_to_limbs(out, &r);
 }
 
+/* ------------------------------------------------------------------ */
+/* Prepared pairings: the verifier's G2 arguments are fixed per key, so
+ * the twist-coordinate loop (including every Fq2 inversion) runs ONCE at
+ * preparation and each verify replays only sparse multiplications —
+ * ark-ec's G2Prepared.  A prepared table stores, per Miller step, the
+ * slope lam and mu = lam*xT - yT (2 Fq2 = 24 canonical u64). */
+
+/* number of Miller steps for BLS_X_ABS: doubles + adds */
+int marlin_g2_prepare_nsteps(void) {
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    int steps = 0;
+    for (int i = top - 1; i >= 0; i--) {
+        steps++;
+        if ((BLS_X_ABS >> i) & 1) steps++;
+    }
+    return steps;
+}
+
+/* q_xy: 24 canonical u64 affine twist point.  out: nsteps x 24 canonical
+ * u64 (lam.c0, lam.c1, mu.c0, mu.c1). */
+void marlin_g2_prepare(const uint64_t *q_xy, uint64_t *out) {
+    fp2 xq, yq, xt, yt;
+    fp_to_mont(xq.c0, q_xy);
+    fp_to_mont(xq.c1, q_xy + 6);
+    fp_to_mont(yq.c0, q_xy + 12);
+    fp_to_mont(yq.c1, q_xy + 18);
+    xt = xq;
+    yt = yq;
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    size_t w = 0;
+    fp c;
+#define EMIT(lam_, mu_)                                                        \
+    do {                                                                       \
+        fp_from_mont(c, (lam_).c0); memcpy(out + w, c, sizeof(fp)); w += 6;    \
+        fp_from_mont(c, (lam_).c1); memcpy(out + w, c, sizeof(fp)); w += 6;    \
+        fp_from_mont(c, (mu_).c0);  memcpy(out + w, c, sizeof(fp)); w += 6;    \
+        fp_from_mont(c, (mu_).c1);  memcpy(out + w, c, sizeof(fp)); w += 6;    \
+    } while (0)
+    for (int i = top - 1; i >= 0; i--) {
+        fp2 lam, mu, num, den, x3, y3, t;
+        /* doubling step */
+        fp2_sqr(&num, &xt);
+        fp2_add(&t, &num, &num);
+        fp2_add(&num, &t, &num);
+        fp2_dbl(&den, &yt);
+        fp2_inv(&den, &den);
+        fp2_mul(&lam, &num, &den);
+        fp2_mul(&mu, &lam, &xt);
+        fp2_sub(&mu, &mu, &yt);
+        EMIT(lam, mu);
+        fp2_sqr(&x3, &lam);
+        fp2_dbl(&t, &xt);
+        fp2_sub(&x3, &x3, &t);
+        fp2_sub(&t, &xt, &x3);
+        fp2_mul(&y3, &lam, &t);
+        fp2_sub(&y3, &y3, &yt);
+        xt = x3;
+        yt = y3;
+        if ((BLS_X_ABS >> i) & 1) {
+            /* addition step */
+            fp2_sub(&num, &yq, &yt);
+            fp2_sub(&den, &xq, &xt);
+            fp2_inv(&den, &den);
+            fp2_mul(&lam, &num, &den);
+            fp2_mul(&mu, &lam, &xt);
+            fp2_sub(&mu, &mu, &yt);
+            EMIT(lam, mu);
+            fp2_sqr(&x3, &lam);
+            fp2_sub(&x3, &x3, &xt);
+            fp2_sub(&x3, &x3, &xq);
+            fp2_sub(&t, &xt, &x3);
+            fp2_mul(&y3, &lam, &t);
+            fp2_sub(&y3, &y3, &yt);
+            xt = x3;
+            yt = y3;
+        }
+    }
+#undef EMIT
+}
+
+/* prod_i e(P_i, Q_i) == 1 over PREPARED G2 tables, merged Miller loops
+ * (one shared square chain — line values are bit-identical to the
+ * unprepared path, so the merged product agrees after the easy exp).
+ * coeffs: k x nsteps x 24 canonical u64. */
+int marlin_multi_pairing_prepared(const uint64_t *g1s, const uint8_t *g1_inf,
+                                  const uint64_t *coeffs, size_t k,
+                                  const uint64_t *hard_digits) {
+    int nsteps = marlin_g2_prepare_nsteps();
+    fp *xps = (fp *)malloc(sizeof(fp) * k);
+    fp *yps = (fp *)malloc(sizeof(fp) * k);
+    uint8_t *skip = (uint8_t *)malloc(k);
+    for (size_t j = 0; j < k; j++) {
+        skip[j] = g1_inf && g1_inf[j];
+        if (!skip[j]) {
+            fp_to_mont(xps[j], g1s + j * 12);
+            fp_to_mont(yps[j], g1s + j * 12 + 6);
+        }
+    }
+    fp12 f;
+    fp12_one(&f);
+    int top = 63;
+    while (!((BLS_X_ABS >> top) & 1)) top--;
+    size_t step = 0;
+    for (int i = top - 1; i >= 0; i--) {
+        fp12_sqr(&f, &f);
+        for (size_t j = 0; j < k; j++) {
+            if (skip[j]) continue;
+            const uint64_t *cf = coeffs + (j * nsteps + step) * 24;
+            fp2 lam, mu, a, b, cc;
+            fp_to_mont(lam.c0, cf);
+            fp_to_mont(lam.c1, cf + 6);
+            fp_to_mont(mu.c0, cf + 12);
+            fp_to_mont(mu.c1, cf + 18);
+            fp_copy(a.c0, yps[j]);
+            fp_copy(a.c1, yps[j]);
+            b = mu;
+            fp nxp;
+            fp_neg(nxp, xps[j]);
+            fp2_mul_fp(&cc, &lam, nxp);
+            mul_by_sparse(&f, &a, &b, &cc);
+        }
+        step++;
+        if ((BLS_X_ABS >> i) & 1) {
+            for (size_t j = 0; j < k; j++) {
+                if (skip[j]) continue;
+                const uint64_t *cf = coeffs + (j * nsteps + step) * 24;
+                fp2 lam, mu, a, b, cc;
+                fp_to_mont(lam.c0, cf);
+                fp_to_mont(lam.c1, cf + 6);
+                fp_to_mont(mu.c0, cf + 12);
+                fp_to_mont(mu.c1, cf + 18);
+                fp_copy(a.c0, yps[j]);
+                fp_copy(a.c1, yps[j]);
+                b = mu;
+                fp nxp;
+                fp_neg(nxp, xps[j]);
+                fp2_mul_fp(&cc, &lam, nxp);
+                mul_by_sparse(&f, &a, &b, &cc);
+            }
+            step++;
+        }
+    }
+    free(xps);
+    free(yps);
+    free(skip);
+    /* x < 0: conjugate the merged product (automorphism distributes) */
+    fp12_conj(&f, &f);
+    fp12 r;
+    final_exp_c(&r, &f, hard_digits);
+    return fp12_is_one(&r);
+}
+
 /* prod_i e(P_i, Q_i) == 1 with one shared final exponentiation.
  * g1s: k x 12 canonical affine, g2s: k x 24; returns 1 iff the product
  * pairs to one. */

@@ -57,6 +57,7 @@ def _load():
             ("marlin_g2_mul", [_U64P, _U64P, _U64P, _U8P]),
             ("marlin_miller_loop", [_U64P, ctypes.c_uint8, _U64P, ctypes.c_uint8, _U64P]),
             ("marlin_final_exp", [_U64P, _U64P, _U64P]),
+            ("marlin_g2_prepare", [_U64P, _U64P]),
         ):
             fn = getattr(lib, name)
             fn.argtypes = argtypes
@@ -64,6 +65,12 @@ def _load():
         mp = lib.marlin_multi_pairing
         mp.argtypes = [_U64P, _U8P, _U64P, _U8P, ctypes.c_size_t, _U64P]
         mp.restype = ctypes.c_int
+        mpp = lib.marlin_multi_pairing_prepared
+        mpp.argtypes = [_U64P, _U8P, _U64P, ctypes.c_size_t, _U64P]
+        mpp.restype = ctypes.c_int
+        ns = lib.marlin_g2_prepare_nsteps
+        ns.argtypes = []
+        ns.restype = ctypes.c_int
         _LIB = lib
     except Exception:  # pragma: no cover - missing toolchain
         _LIB = None
@@ -268,8 +275,9 @@ def final_exponentiation(f):
     return _limbs_to_fq12(out)
 
 
-def multi_pairing(pairs) -> bool:
-    """prod e(P_i, Q_i) == 1 with one shared final exponentiation."""
+def multi_pairing_raw(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 — full twist-loop path (parity oracle for the
+    prepared variant below)."""
     lib = _load()
     k = len(pairs)
     g1s = np.zeros((k, 12), dtype=np.uint64)
@@ -291,3 +299,50 @@ def multi_pairing(pairs) -> bool:
             g2s[i, 12:18] = _int_to_limbs(y0, 6)
             g2s[i, 18:24] = _int_to_limbs(y1, 6)
     return bool(lib.marlin_multi_pairing(g1s, g1_inf, g2s, g2_inf, k, _hard_digits_arr()))
+
+
+# prepared G2 tables (ark-ec G2Prepared analog): the verifier's G2 points
+# are fixed per key, so the twist loop — and every Fq2 inversion in it —
+# runs once per distinct point and is replayed as sparse multiplications
+_PREPARED: dict = {}
+
+
+def g2_prepare(q) -> np.ndarray:
+    """Per-Miller-step (lam, mu) table for an affine G2 point (cached)."""
+    key = q
+    tab = _PREPARED.get(key)
+    if tab is None:
+        lib = _load()
+        nsteps = lib.marlin_g2_prepare_nsteps()
+        (x0, x1), (y0, y1) = q
+        q_arr = np.asarray(
+            _int_to_limbs(x0, 6) + _int_to_limbs(x1, 6) + _int_to_limbs(y0, 6) + _int_to_limbs(y1, 6),
+            dtype=np.uint64,
+        )
+        tab = np.zeros(nsteps * 24, dtype=np.uint64)
+        lib.marlin_g2_prepare(q_arr, tab)
+        _PREPARED[key] = tab
+    return tab
+
+
+def multi_pairing(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 via prepared G2 tables and merged Miller loops
+    (one shared square chain, one final exponentiation)."""
+    lib = _load()
+    live = [(p, q) for p, q in pairs if p is not None and q is not None]
+    if not live:
+        return True
+    k = len(live)
+    nsteps = lib.marlin_g2_prepare_nsteps()
+    g1s = np.zeros((k, 12), dtype=np.uint64)
+    g1_inf = np.zeros(k, dtype=np.uint8)
+    coeffs = np.zeros((k, nsteps * 24), dtype=np.uint64)
+    for i, (p, q) in enumerate(live):
+        g1s[i, :6] = _int_to_limbs(p[0], 6)
+        g1s[i, 6:] = _int_to_limbs(p[1], 6)
+        coeffs[i] = g2_prepare(q)
+    return bool(
+        lib.marlin_multi_pairing_prepared(
+            g1s, g1_inf, np.ascontiguousarray(coeffs), k, _hard_digits_arr()
+        )
+    )

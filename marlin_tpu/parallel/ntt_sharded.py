@@ -102,3 +102,81 @@ def ntt_4step(coeffs: jnp.ndarray, mesh: Mesh, axis="x", inverse: bool = False):
 def ntt_sharded_reference(coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     """Single-chip result for bitwise-equality tests against ntt_4step."""
     return ntt._ntt_jit(coeffs, inverse)
+
+
+# --------------------------------------------------------------------------
+# resident variant: block-sharded flat vector in, block-sharded flat out
+#
+# `ntt_4step` above replicates at both boundaries (its i1-sharded input and
+# k2-sharded output are both strided sets of the flat index, so entering and
+# leaving it from flat arrays reshards/gathers), so a prover chaining
+# transforms materializes O(n) per device between calls (VERDICT r2 weak §4
+# / SURVEY §5.7).  This variant keeps the FLAT BLOCK sharding at both ends:
+#
+#   flat i = i1 + n1*i2  ->  matrix A[i2, i1] (reshape [n2, n1] row-major);
+#   flat blocks == i2 blocks, so the input is PS(axis) on axis 0 as-is.
+#     1. all_to_all #1: transpose to i1-sharded        [n2, n1/d]
+#     2. size-n2 NTTs along i2 (local)                 B[k2, i1]
+#     3. twiddle ω^(i1*k2) (local)
+#     4. all_to_all #2: transpose to k2-sharded        [n2/d, n1]
+#     5. size-n1 NTTs along i1 (local)                 X[k2, k1]
+#     6. all_to_all #3: transpose to k1-sharded, swap  [n1/d, n2]
+#   output flat index k = k1*n2 + k2 (natural order); flat blocks == k1
+#   blocks, so the output leaves PS(axis)-sharded with no gather.
+#
+# Three n/D-sized all_to_alls per transform — strictly less traffic than
+# one all_to_all plus the O(n)-per-device gather boundaries of ntt_4step.
+
+
+def block_sharding(mesh: Mesh, axis="x"):
+    """NamedSharding for a [n, L] vector block-sharded over `axis`."""
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, PS(axis, None))
+
+
+def ntt_4step_resident(coeffs: jnp.ndarray, mesh: Mesh, axis="x", inverse: bool = False):
+    """Distributed NTT whose input and output are flat block-sharded.
+
+    coeffs: [n, L] (ideally already placed with `block_sharding`; a
+    replicated input is sliced, never gathered).  Returns evaluations in
+    natural order, block-sharded over `axis` — safe to chain into further
+    sharded elementwise/NTT calls with zero resharding.
+    """
+    from .multihost import axis_size
+
+    n = coeffs.shape[0]
+    d = axis_size(mesh, axis)
+    log_n = n.bit_length() - 1
+    n1 = 1 << (log_n // 2)
+    n2 = n // n1
+    assert n1 % d == 0 and n2 % d == 0, f"n1={n1}, n2={n2} not divisible by mesh {d}"
+
+    tw = jnp.asarray(_outer_twiddles(n1, n2, inverse))  # [n1, n2] ω^(i1*k2)
+
+    def local(a, twb):
+        # a: [n2/d, n1, L] — this device's flat block (i2 block, all i1)
+        # twb: [n1/d, n2, L] — ω^(i1*k2) rows for the i1 block it will own
+        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0, tiled=True)
+        # [n2, n1/d, L]: complete i2 — size-n2 NTTs along axis 0
+        a = jnp.moveaxis(_local_ntt_rows(jnp.moveaxis(a, 0, 1), inverse), 0, 1)
+        # B[k2, i1_local]; twiddle ω^(i1*k2)
+        a = fr.mul(a, jnp.swapaxes(twb, 0, 1))
+        a = jax.lax.all_to_all(a, axis, split_axis=0, concat_axis=1, tiled=True)
+        # [n2/d, n1, L]: complete i1 — size-n1 NTTs along axis 1
+        a = _local_ntt_rows(a, inverse)
+        # X[k2_local, k1]; transpose to k1-sharded flat blocks
+        a = jax.lax.all_to_all(a, axis, split_axis=1, concat_axis=0, tiled=True)
+        # [n2, n1/d, L] -> [n1/d, n2, L] rows k1_local
+        return jnp.swapaxes(a, 0, 1)
+
+    mat = coeffs.reshape(n2, n1, fr.L)  # A[i2, i1]; flat blocks = i2 blocks
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(PS(axis, None, None), PS(axis, None, None)),
+        out_specs=PS(axis, None, None),
+    )
+    out = sharded(mat, tw)  # [n1, n2, L] k1-sharded = flat blocks
+    return out.reshape(n, fr.L)

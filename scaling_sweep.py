@@ -207,6 +207,47 @@ def main():
                 }
             )
 
+    # ---------------- resident chain (SURVEY §5.7) ----------------
+    # NTT -> Hadamard -> iNTT with every array flat-block-sharded across the
+    # mesh: per-device memory is n/D, never O(n) — the domain-sharding goal
+    # the replicate-boundary kernels above do not meet.
+    from marlin_tpu.ops import ntt as ntt_mod
+    from marlin_tpu.parallel.ntt_sharded import block_sharding, ntt_4step_resident
+
+    log2n = int(os.environ.get("MARLIN_SWEEP_RESIDENT_LOG2N", "20"))
+    n = 1 << log2n
+    d = min(8, len(devices))
+    mesh = Mesh(devices[:d], ("x",))
+    xs = rng.rand_fr_list(n)
+    x_single = fr.from_ints(xs)
+    x = jax.device_put(x_single, block_sharding(mesh))
+    t0 = time.perf_counter()
+    ev = ntt_4step_resident(x, mesh)
+    sq = fr.mul(ev, ev)  # sharding-preserving elementwise
+    back = ntt_4step_resident(sq, mesh, inverse=True)
+    back.block_until_ready()
+    wall = time.perf_counter() - t0
+    shards = back.addressable_shards
+    per_dev_rows = {s.data.shape[0] for s in shards}
+    resident_ok = len({s.device for s in shards}) == d and per_dev_rows == {n // d}
+    want = ntt_mod.ntt(x_single, n)
+    want = fr.mul(want, want)
+    want = ntt_mod.intt(want)
+    ok = bool(jnp.array_equal(back, want)) and resident_ok
+    emit(
+        {
+            "kernel": "resident_ntt_hadamard_intt",
+            "log2n": log2n,
+            "devices": d,
+            "bitwise_equal": ok,
+            "per_device_resident_mb": round(
+                max(s.data.nbytes for s in shards) / 2**20, 2
+            ),
+            "replicated_equivalent_mb": round(back.nbytes / 2**20, 2),
+            "wall_s": round(wall, 2),
+        }
+    )
+
     ok_all = all(r["bitwise_equal"] for r in results)
     print(
         json.dumps(

@@ -85,3 +85,29 @@ def test_scalar_mul_native_matches_python(points):
     assert nc.g2_mul(hc.G2_GEN, k) == hc._scalar_mul(hc.FQ2_OPS, hc.G2_GEN, k)
     assert nc.g1_mul(None, 5) is None
     assert nc.g2_mul(None, 5) is None
+
+
+def test_prepared_multi_pairing_matches_raw(points):
+    p1, p2, q1, q2 = points
+    s = 31337
+    good = [(hc.g1_mul(p1, s), q1), (hc.g1_neg(p1), hc.g2_mul(q1, s))]
+    bad = [(hc.g1_mul(p1, s + 1), q1), (hc.g1_neg(p1), hc.g2_mul(q1, s))]
+    assert nc.multi_pairing_raw(good) and nc.multi_pairing(good)
+    assert not nc.multi_pairing_raw(bad) and not nc.multi_pairing(bad)
+    # identity handling matches (skipped pairs contribute 1)
+    assert nc.multi_pairing([(None, q1), (p2, None)])
+    # table is cached per point
+    t1 = nc.g2_prepare(q1)
+    assert nc.g2_prepare(q1) is t1
+
+
+def test_prepared_three_pairs(points):
+    # sonic-style 3-slot product: e(aP, Q)·e(bP, Q)·e(-(a+b)P, Q) == 1
+    p1, _, q1, _ = points
+    a, b = 7777, 2222
+    pairs = [
+        (hc.g1_mul(p1, a), q1),
+        (hc.g1_mul(p1, b), q1),
+        (hc.g1_neg(hc.g1_mul(p1, a + b)), q1),
+    ]
+    assert nc.multi_pairing(pairs)

@@ -94,3 +94,44 @@ def test_msm_sharded_spill_fallback(mesh):
     sm = fr.from_ints(scal)
     multi = cd.to_affine_ints(msm_sharded(dev, sm, mesh))[0]
     assert multi == hc.g1_msm(pts, scal)
+
+
+def test_ntt_4step_resident_matches_and_stays_sharded(mesh):
+    """Resident 4-step: bitwise-equal to single-chip AND both boundaries
+    flat-block-sharded — no per-device replication (SURVEY §5.7; the
+    building block for prover-resident polynomial storage)."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from marlin_tpu.parallel.ntt_sharded import block_sharding, ntt_4step_resident
+
+    n = 1 << 10
+    coeffs = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    X = jax.device_put(fr.from_ints(coeffs), block_sharding(mesh))
+    single = ntt.ntt(fr.from_ints(coeffs), n)
+    multi = ntt_4step_resident(X, mesh)
+    assert jnp.array_equal(single, multi), "resident NTT differs from single-chip"
+    # output must be block-sharded (each device holds n/8 rows), not replicated
+    shards = multi.addressable_shards
+    assert len({s.device for s in shards}) == 8
+    rows = {s.data.shape[0] for s in shards}
+    assert rows == {n // 8}, rows
+    # and it chains: inverse transform straight off the sharded output
+    back = ntt_4step_resident(multi, mesh, inverse=True)
+    assert fr.to_ints(back) == coeffs
+    bshards = back.addressable_shards
+    assert {s.data.shape[0] for s in bshards} == {n // 8}
+
+
+def test_resident_elementwise_stays_sharded(mesh):
+    """Field elementwise kernels preserve the block sharding — the glue
+    that keeps vectors resident between NTT/MSM calls."""
+    from marlin_tpu.parallel.ntt_sharded import block_sharding
+
+    n = 1 << 9
+    a = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    b = [rng.randrange(P.R_MODULUS) for _ in range(n)]
+    A = jax.device_put(fr.from_ints(a), block_sharding(mesh))
+    B = jax.device_put(fr.from_ints(b), block_sharding(mesh))
+    C = fr.mul(A, B)
+    assert fr.to_ints(C) == [x * y % P.R_MODULUS for x, y in zip(a, b)]
+    assert {s.data.shape[0] for s in C.addressable_shards} == {n // 8}
