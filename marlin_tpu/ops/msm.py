@@ -190,6 +190,20 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
 
+    # Shape bucketing: pad the POINTS array to the next power of two
+    # (strictly greater) with identity entries.  The bucket layouts index
+    # only real entries and (c, cap) derive from the real n, so results and
+    # dispatched fold work are unchanged — but every commit/witness MSM of
+    # a prove now hits one of ~3 compiled kernel shapes instead of ~10.
+    # On the tunneled TPU each fresh shape costs minutes of per-process
+    # trace/compile, which dominated bench warmup.
+    n_pad = 1 << n.bit_length()
+    if n_pad > n:
+        ident = cd.identity((n_pad - n,))
+        points = tuple(
+            jnp.concatenate([points[i], ident[i]], axis=0) for i in range(3)
+        )
+
     # data-independent capacity (2x the mean bucket load) so kernel shapes —
     # hence compiled programs — are stable across scalar sets.  Windows whose
     # nonzero buckets overflow it (the narrow top window, adversarial
@@ -204,7 +218,8 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
         counts = np.bincount(d[nz], minlength=nb)
         max_count = int(counts.max()) if counts.size else 0
         if max_count > cap:
-            skewed[w] = _skewed_window(points, d)
+            # mask padded with zero digits to match the padded points batch
+            skewed[w] = _skewed_window(points, np.pad(d, (0, n_pad - n)))
             continue
         order = np.argsort(d, kind="stable")
         d_sorted = d[order]
