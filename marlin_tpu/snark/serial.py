@@ -100,6 +100,10 @@ def _require_g2(p, what: str):
 def load_srs(path: str) -> kzg.UniversalParams:
     with np.load(path, allow_pickle=False) as z:
         meta = json.loads(str(z["meta"]))
+        _validate_powers_on_curve(tuple(z[f"pg_{a}"] for a in "xyz"), "srs.powers_of_g")
+        _validate_powers_on_curve(
+            tuple(z[f"pgg_{a}"] for a in "xyz"), "srs.powers_of_gamma_g"
+        )
         pg = tuple(jnp.asarray(z[f"pg_{a}"]) for a in "xyz")
         pgg = tuple(jnp.asarray(z[f"pgg_{a}"]) for a in "xyz")
         neg_h = _limbs_to_g2_list(z["neg_h"]) if "neg_h" in z else None
@@ -124,22 +128,39 @@ def load_srs(path: str) -> kzg.UniversalParams:
         _require_g1(hp_, f"srs.host_gamma_powers[{i}]")
     for i, nh in enumerate(pp.neg_powers_of_h or []):
         _require_g2(nh, f"srs.neg_powers_of_h[{i}]")
-    _validate_powers_on_curve(pg, "srs.powers_of_g")
-    _validate_powers_on_curve(pgg, "srs.powers_of_gamma_g")
     return pp
 
 
-def _validate_powers_on_curve(pt, what: str) -> None:
-    """On-curve check for a device point batch in affine form (Z in {0,1}):
-    y^2 == x^3 + b wherever Z != 0, one vectorized device pass."""
-    from ..ops import fq
+def _limb_rows_to_ints(arr: np.ndarray) -> list:
+    """[n, L] uint32 arrays of 16-bit limbs -> list of n Python ints."""
+    a = np.ascontiguousarray(arr.astype("<u2"))
+    L2 = a.shape[1] * 2
+    raw = a.tobytes()
+    return [int.from_bytes(raw[i : i + L2], "little") for i in range(0, len(raw), L2)]
 
-    X, Y, Z = pt
-    lhs = fq.sqr(Y)
-    rhs = fq.add(fq.mul(fq.sqr(X), X), fq.from_ints([P.CURVE_B])[0])
-    ok = fq.is_zero(fq.sub(lhs, rhs)) | fq.is_zero(Z)
-    if not bool(jnp.all(ok)):
-        raise ValueError(f"{what}: off-curve point in archive")
+
+def _validate_powers_on_curve(pt, what: str) -> None:
+    """On-curve check for an archived point batch in affine form
+    (Z in {0, one}): y^2 == x^3 + b wherever Z != 0.
+
+    Runs on host Python ints rather than device kernels: archives are
+    loaded before any device work, and building the fq Pallas kernels
+    just for a load-time guard cost ~4 minutes of per-process
+    trace/compile on the tunneled TPU (round-4 capture-economics fix)."""
+    q = P.Q_MODULUS
+    rinv = pow(P.FQ_MONT_R, -1, q)
+    one_mont = P.FQ_MONT_R % q
+    b = P.CURVE_B
+    xs, ys, zs = (_limb_rows_to_ints(np.asarray(c)) for c in pt)
+    for x_m, y_m, z_m in zip(xs, ys, zs):
+        if z_m == 0:
+            continue
+        if z_m != one_mont:
+            raise ValueError(f"{what}: non-affine Z in archive")
+        x = x_m * rinv % q
+        y = y_m * rinv % q
+        if (y * y - (x * x % q) * x - b) % q:
+            raise ValueError(f"{what}: off-curve point in archive")
 
 
 # --------------------------------------------------------------------------
