@@ -64,9 +64,12 @@ def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
     return jax.lax.fori_loop(0, log_n, body, pts)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, cap: int) -> cd.Point:
-    """All Pippenger windows at once: [n_win] partial sums T_w = Σ_b b*S_b.
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _windows_kernel(
+    points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, cap: int, exact: bool = False
+):
+    """All Pippenger windows at once: ([n_win] partial sums T_w = Σ_b b*S_b,
+    doubling-degenerate count — see bucket_fold).
 
     layout: [cap * n_win * 2^c] int32 in slot-major order (slot j of
     window w's bucket b at j*(n_win*nb) + w*nb + b) — index into `points`,
@@ -88,8 +91,9 @@ def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, c
     mat = cd.select_point(filled, g, ident)
     mat = tuple(m.reshape(cap, n_win * nb, -1) for m in mat)
 
+    flag = jnp.zeros((), jnp.uint32)
     if _routing.use_pallas():
-        buckets = pcurve.bucket_fold(mat, cap)
+        buckets, flag = pcurve.bucket_fold(mat, cap, exact=exact)
     else:
 
         def fold(j, acc):
@@ -113,7 +117,7 @@ def _windows_kernel(points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, c
     suffix = _hillis_scan_add(buckets, reverse=True)  # S'_j = Σ_{b>=j} S_b
     suffix = cd.select_point(first, cd.identity((nb, n_win)), suffix)
     totals = _hillis_scan_add(suffix, reverse=False)
-    return tuple(t[-1] for t in totals)  # [n_win]
+    return tuple(t[-1] for t in totals), flag  # [n_win]
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -179,7 +183,26 @@ def _skewed_window(points: cd.Point, digits: np.ndarray):
     return acc
 
 
-def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
+# Doubling-degenerate flags from no-double bucket folds (see
+# pallas/curve._jac_madd_planes_fast).  Device scalars accumulate here so
+# no extra host sync happens on the hot path; callers drain at a point
+# where results are fetched anyway (kzg._run_msm_jobs) and rerun with
+# exact=True on the cosmically-cold hit.
+_FOLD_FLAGS: list = []
+
+
+def fold_flags_fired() -> bool:
+    """Drain pending fold flags; True if any no-double madd degenerated."""
+    global _FOLD_FLAGS
+    flags, _FOLD_FLAGS = _FOLD_FLAGS, []
+    if not flags:
+        return False
+    return any(int(np.asarray(f)) != 0 for f in flags)
+
+
+def msm_pippenger(
+    points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None, exact: bool = False
+) -> cd.Point:
     """Windowed-bucket MSM; see module docstring."""
     n = points[0].shape[0]
     if c is None:
@@ -250,9 +273,11 @@ def msm_pippenger(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = N
                 .transpose(1, 0, 2)
                 .ravel()
             )
-            batched = _windows_kernel(
-                points, jnp.asarray(big_layout), len(chunk), c, int(cap)
+            batched, flag = _windows_kernel(
+                points, jnp.asarray(big_layout), len(chunk), c, int(cap), exact
             )
+            if not exact:
+                _FOLD_FLAGS.append(flag)
             for j, (w, _) in enumerate(chunk):
                 windows[w] = tuple(b[j : j + 1] for b in batched)
     for w, pt in skewed.items():
@@ -334,11 +359,208 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
             .swapaxes(0, 1)
             .reshape(-1)
         )
-        batched = _windows_kernel(points, big, len(chunk), c, int(cap))
+        batched, flag = _windows_kernel(points, big, len(chunk), c, int(cap))
+        spill = spill + flag.astype(jnp.int32)
         for j in range(len(chunk)):
             windows[start + j] = tuple(b[j : j + 1] for b in batched)
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
     return _combine_windows(stacked, c), spill
+
+
+# --------------------------------------------------------------------------
+# fixed-base table MSM (the prover's commit/witness MSMs all run over the
+# fixed SRS powers-of-τ, reference src/lib.rs:125,172,193,213,292 — so the
+# classic per-window Pippenger can be collapsed into ONE signed-digit
+# window over precomputed 2^(c·w)-scaled copies of the powers.  Work drops
+# from ~2·n·ceil(255/c) dispatched mixed-adds to ~1.3·n·ceil(256/c) with
+# far fewer buckets and NO Horner doubling chain; all of a round's MSMs
+# batch into a single gather+fold kernel launch.)
+
+
+class FixedBaseTable:
+    """Precomputed [W·N] affine-form copies: table[w·N + i] = 2^(c·w)·P_i."""
+
+    def __init__(self, points: cd.Point, c: int, num_windows: int, n_base: int):
+        self.points = points
+        self.c = c
+        self.num_windows = num_windows
+        self.n_base = n_base
+
+
+def _fixed_c(n_base: int) -> int:
+    """Signed-window width for the table path.
+
+    Dispatched fold work ≈ nb·cap ≈ 1.2·n·W + nb·(6√λ + 8) with
+    nb = 2^(c-1); c around 11-13 is flat-optimal for 2^12..2^18 bases
+    while keeping the table W·N and bucket count moderate."""
+    return min(13, max(10, n_base.bit_length() - 3))
+
+
+def build_fixed_table(points: cd.Point, c: int) -> FixedBaseTable:
+    """Device precompute: W blocks of c-fold doublings, renormalized to
+    affine form so the fold kernel's mixed add applies."""
+    n_base = points[0].shape[0]
+    num_windows = -(-256 // c)
+    blocks = [points]
+    cur = points
+    for _ in range(1, num_windows):
+        for _ in range(c):
+            cur = cd.double(cur)
+        cur = cd.normalize_batch(cur)
+        blocks.append(cur)
+    table = tuple(
+        jnp.concatenate([b[i] for b in blocks], axis=0) for i in range(3)
+    )
+    return FixedBaseTable(table, c, num_windows, n_base)
+
+
+def _signed_digits_np(scal: np.ndarray, c: int, num_windows: int) -> np.ndarray:
+    """[W, n] balanced signed digits in [-(2^(c-1)-1), 2^(c-1)]."""
+    n = scal.shape[0]
+    digits = np.zeros((num_windows, n), np.int32)
+    carry = np.zeros(n, np.int64)
+    half = 1 << (c - 1)
+    full = 1 << c
+    for w in range(num_windows):
+        raw = _digits_np(scal, c, w).astype(np.int64) + carry
+        carry = (raw > half).astype(np.int64)
+        digits[w] = (raw - carry * full).astype(np.int32)
+    assert not carry.any(), "signed recoding overflowed the top window"
+    return digits
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _single_window_kernel(
+    points: cd.Point, layout: jnp.ndarray, n_jobs: int, nb: int, cap: int, exact: bool = False
+):
+    """Batched single-window signed-digit bucket sums.
+
+    layout: [cap · n_jobs · nb] int32, slot-major like _windows_kernel but
+    with sign encoding: 0 = empty, +k = table point k-1, -k = negated
+    table point k-1.  Returns ([n_jobs] MSM totals, degenerate count).
+    """
+    from .pallas import curve as pcurve
+    from .pallas import routing as _routing
+
+    filled = layout != 0
+    neg = layout < 0
+    src = jnp.abs(layout) - 1
+    src = jnp.clip(src, 0, points[0].shape[0] - 1)
+    g = cd.gather(points, src)
+    g = (g[0], jnp.where(neg[:, None], _fq_neg(g[1]), g[1]), g[2])
+    ident = cd.identity((layout.shape[0],))
+    mat = cd.select_point(filled, g, ident)
+    mat = tuple(m.reshape(cap, n_jobs * nb, -1) for m in mat)
+
+    flag = jnp.zeros((), jnp.uint32)
+    if _routing.use_pallas():
+        buckets, flag = pcurve.bucket_fold(mat, cap, exact=exact)
+    else:
+
+        def fold(j, acc):
+            col = tuple(
+                jax.lax.dynamic_slice_in_dim(mat[i], j, 1, axis=0)[0]
+                for i in range(3)
+            )
+            return cd.add(acc, col)
+
+        buckets = jax.lax.fori_loop(1, cap, fold, tuple(m[0] for m in mat))
+    buckets = tuple(b.reshape(n_jobs, nb, -1).swapaxes(0, 1) for b in buckets)
+
+    first = (jnp.arange(nb) == 0)[:, None]
+    buckets = cd.select_point(first, cd.identity((nb, n_jobs)), buckets)
+    suffix = _hillis_scan_add(buckets, reverse=True)
+    suffix = cd.select_point(first, cd.identity((nb, n_jobs)), suffix)
+    totals = _hillis_scan_add(suffix, reverse=False)
+    return tuple(t[-1] for t in totals), flag
+
+
+def _fq_neg(y: jnp.ndarray) -> jnp.ndarray:
+    from . import fq
+
+    return fq.neg(y)
+
+
+def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> list:
+    """All (offset, scalars_mont) MSM jobs of a round in (ideally) one
+    gather+fold launch over the fixed-base table.
+
+    Falls back per-job to the classic path when a bucket overflows its
+    capacity (adversarial/degenerate scalar patterns)."""
+    c, W, N = table.c, table.num_windows, table.n_base
+    nb = (1 << (c - 1)) + 1
+    # one de-Montgomery kernel + one host fetch for ALL jobs (each host
+    # sync costs a full tunnel round trip)
+    sizes = [scal.shape[0] for _, scal in jobs]
+    host_all = np.asarray(
+        bi.from_mont(fr.CTX, jnp.concatenate([scal for _, scal in jobs], axis=0))
+    )
+    host_scal = np.split(host_all, np.cumsum(sizes)[:-1])
+
+    entries = []  # (job_idx, cap, layout) for table-path jobs
+    fallback = {}  # job_idx -> classic result
+    for ji, ((off, scal), hs) in enumerate(zip(jobs, host_scal)):
+        n_j = hs.shape[0]
+        if n_j < 512:
+            # tiny job: the [nb, cap] fold would be ~all padding
+            pts = tuple(table.points[i][off : off + n_j] for i in range(3))
+            fallback[ji] = msm_ladder(pts, jobs[ji][1])
+            continue
+        digits = _signed_digits_np(hs, c, W)  # [W, n_j]
+        bucket = np.abs(digits)
+        lam = max(1, (n_j * W) // (nb - 1))
+        cap = int(np.ceil((lam + 6 * np.sqrt(lam) + 8) / 8.0)) * 8
+        counts = np.bincount(bucket[bucket != 0], minlength=nb)
+        if counts.max() > cap:
+            pts = tuple(
+                table.points[i][off : off + n_j] for i in range(3)
+            )
+            fallback[ji] = msm_pippenger(pts, jobs[ji][1], exact=exact)
+            continue
+        # flatten (w, i) contributions; signed table index = w*N + off + i
+        widx = np.repeat(np.arange(W, dtype=np.int64)[:, None], n_j, axis=1)
+        iidx = np.broadcast_to(np.arange(n_j, dtype=np.int64), (W, n_j))
+        keep = bucket != 0
+        b = bucket[keep].astype(np.int64)
+        tbl = (widx[keep] * N + off + iidx[keep]) + 1  # 1-based
+        sign = digits[keep] < 0
+        order = np.argsort(b, kind="stable")
+        b_sorted = b[order]
+        starts = np.zeros(nb, dtype=np.int64)
+        starts[1:] = np.cumsum(np.bincount(b_sorted, minlength=nb))[:-1]
+        col = np.arange(len(b_sorted)) - starts[b_sorted]
+        layout = np.zeros(cap * nb, dtype=np.int32)
+        enc = np.where(sign[order], -tbl[order], tbl[order]).astype(np.int32)
+        layout[col * nb + b_sorted] = enc
+        entries.append((ji, cap, layout))
+
+    out = [None] * len(jobs)
+    # group jobs sharing a cap into one kernel launch (bounded workspace)
+    max_slots = 1 << 21
+    by_cap = {}
+    for ji, cap, layout in entries:
+        by_cap.setdefault(cap, []).append((ji, layout))
+    for cap, group in sorted(by_cap.items()):
+        per_job = nb * cap
+        gsz = max(1, min(len(group), max_slots // per_job))
+        for start in range(0, len(group), gsz):
+            chunk = group[start : start + gsz]
+            big = (
+                np.stack([l for _, l in chunk])
+                .reshape(len(chunk), cap, nb)
+                .transpose(1, 0, 2)
+                .ravel()
+            )
+            totals, flag = _single_window_kernel(
+                table.points, jnp.asarray(big), len(chunk), nb, int(cap), exact
+            )
+            if not exact:
+                _FOLD_FLAGS.append(flag)
+            for j, (ji, _) in enumerate(chunk):
+                out[ji] = tuple(t[j : j + 1] for t in totals)
+    for ji, pt in fallback.items():
+        out[ji] = pt
+    return out
 
 
 def msm_ladder(points: cd.Point, scalars_mont: jnp.ndarray) -> cd.Point:
@@ -394,7 +616,9 @@ def _host_msm_or_none(points: cd.Point, scalars_mont: jnp.ndarray):
     return cd.from_affine_ints([res])
 
 
-def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd.Point:
+def msm(
+    points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None, exact: bool = False
+) -> cd.Point:
     """Σ_i s_i P_i -> single Jacobian point (shape [1]).
 
     points: [n] Jacobian batch (Z=1 for affine inputs, Z=0 identity).
@@ -407,23 +631,35 @@ def msm(points: cd.Point, scalars_mont: jnp.ndarray, c: int | None = None) -> cd
     if out is not None:
         return out
     if points[0].shape[0] >= _PIPPENGER_MIN:
-        return msm_pippenger(points, scalars_mont, c)
+        return msm_pippenger(points, scalars_mont, c, exact=exact)
     return msm_ladder(points, scalars_mont)
 
 
-def msm_many(powers: cd.Point, jobs: list) -> list:
+def msm_many(
+    powers: cd.Point, jobs: list, exact: bool = False, table: FixedBaseTable | None = None
+) -> list:
     """Batch several MSMs over slices of one fixed point array.
 
     jobs: list of (offset, scalars_mont [n_j, 16]) — the points of job j are
-    powers[offset : offset+n_j].  All jobs share a single double-and-add
-    ladder pass (the expensive 255-iteration kernel), then each segment is
-    tree-reduced separately.  This is how a whole commit round's MSMs run as
-    one kernel launch (SURVEY.md §2c item 4: fused per-round multi-MSM).
+    powers[offset : offset+n_j].  With a FixedBaseTable (TPU commit path)
+    the whole batch runs as one signed-digit single-window fold
+    (msm_fixed_many).  Otherwise all jobs share a single double-and-add
+    ladder pass (small batches) or run per-job Pippenger.  This is how a
+    whole commit round's MSMs run as one kernel launch (SURVEY.md §2c
+    item 4: fused per-round multi-MSM).
     """
     if not jobs:
         return []
     import os
 
+    from ..parallel import context as pctx
+
+    if (
+        table is not None
+        and pctx.current() is None
+        and os.environ.get("MARLIN_TPU_HOST_MSM") != "1"
+    ):
+        return msm_fixed_many(table, jobs, exact=exact)
     if os.environ.get("MARLIN_TPU_HOST_MSM") == "1":
         host = [
             _host_msm_or_none(
@@ -440,7 +676,9 @@ def msm_many(powers: cd.Point, jobs: list) -> list:
             n_j = scal.shape[0]
             pts = tuple(powers[i][off : off + n_j] for i in range(3))
             sharded = _sharded_msm_or_none(pts, scal)
-            out.append(sharded if sharded is not None else msm_pippenger(pts, scal))
+            out.append(
+                sharded if sharded is not None else msm_pippenger(pts, scal, exact=exact)
+            )
         return out
     pts_parts = []
     scal_parts = []

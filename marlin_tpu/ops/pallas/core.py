@@ -29,7 +29,59 @@ def mod_consts(ctx):
     return n_tuple, np0
 
 
-def mm_mul(a, b, n_tuple, np0):
+def mm_mul_cios(a, b, n_tuple, np0):
+    """Montgomery product of [L, ...] stacked limb planes — interleaved
+    CIOS as a fori_loop with a tuple-of-tiles carry.
+
+    This is the round-4 production form.  The tensorized variant below
+    (mm_mul_tensor) traces fast but its shear-reshape diagonal sums and
+    per-step concatenates compile to heavy Mosaic data movement (~25x the
+    ALU floor at runtime).  Here each loop step is pure elementwise tile
+    arithmetic on a rotating tuple of [...]-shaped u32 accumulators: the
+    body traces once (~10L ops), Mosaic emits a real loop (small code,
+    fast compile), and runtime op count sits at the schoolbook floor
+    (~10L² lane-ops per element).
+
+    Column-overflow analysis: each physical column receives ≤ 4 sub-2^16
+    contributions per step over ≤ L steps plus retired-column carries —
+    < 2^23 per u32 accumulator for L ≤ 48, so no inner carry passes are
+    needed; _finalize propagates once and applies the conditional
+    subtract.  Reduced output < N for canonical inputs (ark-ff MontBackend
+    CIOS parity, same as ops/bigint.py)."""
+    import jax
+
+    L = len(n_tuple)
+    shape = a.shape[1:]
+    zero = jnp.zeros(shape, jnp.uint32)
+    bs = tuple(b[j] for j in range(L))
+
+    # Mosaic cannot dynamic-slice VALUES inside the loop, so the a-limbs
+    # ride in the carry and rotate one position per step (a static pytree
+    # permutation — free at runtime).
+    def body(_, carry):
+        arot, acc = carry
+        ai = arot[0]
+        acc = list(acc)
+        for j in range(L):
+            p = ai * bs[j]
+            acc[j] = acc[j] + (p & LIMB_MASK)
+            acc[j + 1] = acc[j + 1] + (p >> LIMB_BITS)
+        m = ((acc[0] & LIMB_MASK) * jnp.uint32(np0)) & LIMB_MASK
+        for j in range(L):
+            q = m * jnp.uint32(n_tuple[j])
+            acc[j] = acc[j] + (q & LIMB_MASK)
+            acc[j + 1] = acc[j + 1] + (q >> LIMB_BITS)
+        acc[1] = acc[1] + (acc[0] >> LIMB_BITS)
+        return arot[1:] + (arot[0],), tuple(acc[1:]) + (zero,)
+
+    a0 = tuple(a[i] for i in range(L))
+    _, acc = jax.lax.fori_loop(
+        0, L, body, (a0, tuple(zero for _ in range(L + 1)))
+    )
+    return _finalize(list(acc), n_tuple)
+
+
+def mm_mul_tensor(a, b, n_tuple, np0):
     """Montgomery product of [L, ...] stacked limb planes.
 
     Tensorized schoolbook + separated Montgomery reduction (same math as
@@ -92,6 +144,15 @@ def mm_mul(a, b, n_tuple, np0):
         w = jnp.concatenate(parts)
     acc = [w[L + i] for i in range(L)] + [w[2 * L]]
     return _finalize(acc, n_tuple)
+
+
+# production selector: the fori-CIOS form (MARLIN_TPU_MULV=tensor reverts)
+def mm_mul(a, b, n_tuple, np0):
+    import os
+
+    if os.environ.get("MARLIN_TPU_MULV") == "tensor":
+        return mm_mul_tensor(a, b, n_tuple, np0)
+    return mm_mul_cios(a, b, n_tuple, np0)
 
 
 def _finalize(acc, n_tuple):

@@ -258,7 +258,51 @@ def double(p, interpret: bool = False):
 # writes it once.
 
 
-def _fold_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, nsteps):
+def _jac_madd_planes_fast(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
+    """_jac_madd_planes minus the unconditional doubling branch (7 of its
+    18 Montgomery muls).  Returns (X3, Y3, Z3, needs_double): when the two
+    operands are equal nonidentity points the formula degenerates (H = 0,
+    r = 0) and the result is garbage — the caller must check the flag and
+    rerun an exact path.  For MSM bucket folds over a trusted SRS the flag
+    firing would exhibit a nontrivial discrete-log relation between
+    powers-of-τ points, so the fallback is (beyond) cosmically cold; it
+    exists for exactness, and the synthetic repeated-point unit test
+    exercises it."""
+    mul = lambda a, b: core.mm_mul(a, b, n_tuple, np0)
+    add = lambda a, b: core.mm_add(a, b, n_tuple)
+    sub = lambda a, b: core.mm_sub(a, b, n_tuple)
+
+    Z1Z1 = mul(Z1, Z1)
+    U2 = mul(X2, Z1Z1)
+    A2 = mul(Y2, Z1)
+    S2 = mul(A2, Z1Z1)
+    H = sub(U2, X1)
+    HH = add(H, H)
+    S2S1 = sub(S2, Y1)
+    r = add(S2S1, S2S1)
+    I = mul(HH, HH)
+    rsq = mul(r, r)
+    Z3 = mul(add(Z1, Z1), H)
+    J = mul(H, I)
+    V = mul(X1, I)
+    X3 = sub(sub(rsq, J), add(V, V))
+    S1J = mul(Y1, J)
+    rVX = mul(r, sub(V, X3))
+    Y3 = sub(rVX, add(S1J, S1J))
+
+    h_zero = core.mm_is_zero(H)
+    r_zero = core.mm_is_zero(S2S1)
+    p_inf = core.mm_is_zero(Z1)
+    q_inf = core.mm_is_zero(Z2)
+
+    needs_double = h_zero & r_zero & ~p_inf & ~q_inf
+    X3 = core.mm_select(q_inf, X1, core.mm_select(p_inf, X2, X3))
+    Y3 = core.mm_select(q_inf, Y1, core.mm_select(p_inf, Y2, Y3))
+    Z3 = core.mm_select(q_inf, Z1, core.mm_select(p_inf, Z2, Z3))
+    return X3, Y3, Z3, needs_double
+
+
+def _fold_kernel(x, y, z, ox, oy, oz, oflag, *, n_tuple, np0, nsteps, exact):
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -267,11 +311,18 @@ def _fold_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, nsteps):
     @pl.when(j == 0)
     def _init():
         ox[:], oy[:], oz[:] = X, Y, Z
+        oflag[:] = jnp.zeros_like(oflag)
 
     @pl.when(j > 0)
     def _accum():
         # slot points are affine-form (Z ∈ {0,1}): mixed add, 11 muls
-        A, B, C = _jac_madd_planes(ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0)
+        if exact:
+            A, B, C = _jac_madd_planes(ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0)
+        else:
+            A, B, C, flag = _jac_madd_planes_fast(
+                ox[:], oy[:], oz[:], X, Y, Z, n_tuple, np0
+            )
+            oflag[:] = oflag[:] | flag.astype(jnp.uint32)
         ox[:], oy[:], oz[:] = A, B, C
 
     @pl.when(j == nsteps - 1)
@@ -293,7 +344,7 @@ def _fold_kernel(x, y, z, ox, oy, oz, *, n_tuple, np0, nsteps):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_fold(cap: int, lanes: int, interpret: bool):
+def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
     from jax.experimental import pallas as pl
 
     n_tuple, np0 = _fq_consts()
@@ -302,17 +353,19 @@ def _build_fold(cap: int, lanes: int, interpret: bool):
     nsteps = cap // _RT
     in_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, j, i))
     out_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, 0, i))
+    flag_spec = pl.BlockSpec((_RT, LANE), lambda i, j: (0, i))
     kernel = functools.partial(
-        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps
+        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps, exact=exact
     )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
             jax.ShapeDtypeStruct((L, _RT, lanes), jnp.uint32) for _ in range(3)
-        ),
+        )
+        + (jax.ShapeDtypeStruct((_RT, lanes), jnp.uint32),),
         grid=(lanes // LANE, nsteps),
         in_specs=[in_spec] * 3,
-        out_specs=(out_spec,) * 3,
+        out_specs=(out_spec,) * 3 + (flag_spec,),
         interpret=interpret,
     )
 
@@ -391,13 +444,16 @@ def combine_windows(stacked, c: int, interpret: bool = False):
     return tuple(jnp.moveaxis(o[:, 0, 0:1], 0, -1) for o in out)
 
 
-def bucket_fold(mat, cap: int, interpret: bool = False):
+def bucket_fold(mat, cap: int, interpret: bool = False, exact: bool = False):
     """Σ over the cap axis of a [cap, lanes] point batch.
 
     mat: Point tuple of [cap, lanes, 24] arrays (slot j of bucket lane b at
-    [j, b]); identity slots are all-zero (Z = 0).  Returns a [lanes]-batch
-    Point of bucket sums.  cap must be a multiple of 8; lanes is padded to
-    a whole number of 128-lane tiles internally.
+    [j, b]); identity slots are all-zero (Z = 0).  Returns a ([lanes]-batch
+    Point of bucket sums, doubling-needed count) — the count is 0 unless
+    the no-double fast madd degenerated somewhere (see
+    _jac_madd_planes_fast); with exact=True the complete madd runs and the
+    count is always 0.  cap must be a multiple of 8; lanes is padded to a
+    whole number of 128-lane tiles internally.
     """
     lanes = mat[0].shape[1]
     pad = -lanes % LANE
@@ -407,7 +463,10 @@ def bucket_fold(mat, cap: int, interpret: bool = False):
         if pad:
             lm = jnp.pad(lm, ((0, 0), (0, 0), (0, pad)))
         planes.append(lm)
-    call = _build_fold(cap, lanes + pad, interpret)
-    out = call(*planes)
+    call = _build_fold(cap, lanes + pad, interpret, exact)
+    *out, flags = call(*planes)
     # row 0 of the 8-row accumulator holds the fold result
-    return tuple(jnp.moveaxis(o[:, 0, :lanes], 0, -1) for o in out)
+    return (
+        tuple(jnp.moveaxis(o[:, 0, :lanes], 0, -1) for o in out),
+        jnp.sum(flags, dtype=jnp.uint32),
+    )

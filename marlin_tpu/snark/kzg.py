@@ -263,6 +263,32 @@ def _ensure_host_powers(pp: UniversalParams) -> list | None:
     return pp._host_powers
 
 
+def _ensure_msm_table(pp: UniversalParams):
+    """Fixed-base table over the G1 powers (TPU commit path; see
+    ops/msm.msm_fixed_many).  Built once per process per SRS and cached on
+    the params object; skipped off-TPU or when the table would exceed the
+    HBM budget (MARLIN_TPU_MSM_TABLE_MB, default 2400)."""
+    import os
+
+    from ..ops import msm as msm_mod
+    from ..ops.pallas import routing
+
+    if not routing.use_pallas() or os.environ.get("MARLIN_TPU_MSM_TABLE") == "0":
+        return None
+    table = getattr(pp, "_msm_table", None)
+    if table is not None:
+        return table
+    n = pp.powers_of_g[0].shape[0]
+    c = msm_mod._fixed_c(n)
+    num_windows = -(-256 // c)
+    mb = num_windows * n * 3 * 24 * 4 / 1e6
+    if mb > float(os.environ.get("MARLIN_TPU_MSM_TABLE_MB", "2400")):
+        return None
+    with profiling.span("Precomputing fixed-base MSM table"):
+        pp._msm_table = msm_mod.build_fixed_table(pp.powers_of_g, c)
+    return pp._msm_table
+
+
 def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
     """Run (offset, scalars_mont) MSM jobs over the G1 powers -> host affine."""
     from ..ops import msm as msm_mod
@@ -276,9 +302,19 @@ def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
                 ints = fr.to_ints(scal)
                 out.append(hc.g1_msm(host_powers[off : off + len(ints)], ints))
             return out
-    jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs)
+    jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, table=_ensure_msm_table(ck.pp))
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    return cd.to_affine_ints_host(stacked)
+    affs = cd.to_affine_ints_host(stacked)
+    if msm_mod.fold_flags_fired():
+        # a no-double bucket-fold madd degenerated (astronomically cold for
+        # an honest SRS — would exhibit a discrete-log relation between
+        # powers of τ); rerun the whole job batch with the complete madd
+        jacs = msm_mod.msm_many(
+            ck.pp.powers_of_g, jobs, exact=True, table=_ensure_msm_table(ck.pp)
+        )
+        stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
+        affs = cd.to_affine_ints_host(stacked)
+    return affs
 
 
 def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):

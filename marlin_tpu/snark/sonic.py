@@ -128,9 +128,16 @@ def _run_jobs(ck: SonicCommitterKey, jobs: list, powers: str = "g") -> list:
                 ints = fr.to_ints(scal)
                 out.append(hc.g1_msm(host_powers[off : off + len(ints)], ints))
             return out
-    jacs = msm_mod.msm_many(pts, jobs)
+    table = kzg._ensure_msm_table(ck.pp) if powers == "g" else None
+    jacs = msm_mod.msm_many(pts, jobs, table=table)
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    return cd.to_affine_ints_host(stacked)
+    affs = cd.to_affine_ints_host(stacked)
+    if msm_mod.fold_flags_fired():
+        # see kzg._run_msm_jobs: no-double madd degenerated; rerun exact
+        jacs = msm_mod.msm_many(pts, jobs, exact=True, table=table)
+        stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
+        affs = cd.to_affine_ints_host(stacked)
+    return affs
 
 
 def commit(ck: SonicCommitterKey, labeled_polys: list, rng: ZkRng | None):

@@ -57,6 +57,33 @@ def _vpu_kernel(op, dtype):
     return kernel
 
 
+def _timed_chain(f, x, n_ops_per_call):
+    """Dependent-call delta timing that survives an async tunnel backend.
+
+    On axon, block_until_ready can return before the device finishes; the
+    only reliable fence is fetching result bytes to the host.  We time a
+    chain of K dependent calls ending in a host fetch, for two chain
+    lengths, and divide the op delta by the time delta — subtracting the
+    fetch/dispatch overhead exactly.
+    """
+    y = f(x)
+    _ = np.asarray(y)  # warm + fence
+
+    def run(k):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(k):
+            y = f(y)
+        np.asarray(jax.device_get(y[:1, :1]))
+        return time.perf_counter() - t0
+
+    k_lo, k_hi = 2, 10
+    t_lo = min(run(k_lo) for _ in range(3))
+    t_hi = min(run(k_hi) for _ in range(3))
+    dt = max(t_hi - t_lo, 1e-9)
+    return n_ops_per_call * (k_hi - k_lo) / dt
+
+
 def _time_pallas(kernel, x, n_ops_per_call, label, results, flavor):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -70,62 +97,61 @@ def _time_pallas(kernel, x, n_ops_per_call, label, results, flavor):
         out_specs=spec,
     )
     f = jax.jit(call)
-    y = f(x)
-    y.block_until_ready()
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        y = f(x)
-        y.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    tops = n_ops_per_call / best
+    tops = _timed_chain(f, x, n_ops_per_call)
     rec = {"metric": label, "value": round(tops / 1e12, 4), "unit": "Tops/s", "flavor": flavor}
     results.append(rec)
     print(json.dumps(rec), flush=True)
     return tops
 
 
-def _mxu_probe(results, in_dtype, acc_dtype, label):
-    """Back-to-back matmuls in one kernel: measures MXU rate."""
+def _mxu_probe(results, in_dtype, acc_dtype, label, use_pallas=True):
+    """Back-to-back matmuls: measures MXU rate.
+
+    reps dependent-ish matmuls inside one kernel (a is nudged between
+    dots so none can be CSE'd); chained across calls through a cast so
+    the async tunnel cannot hide execution.  use_pallas=False times the
+    plain-XLA dot (fallback for dtypes the pallas remote compile rejects).
+    """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     M = 512
-    reps = 64
+    reps = 256
 
-    def kernel(a_ref, b_ref, o_ref):
-        a = a_ref[:]
-        b = b_ref[:]
+    def body(a, b):
         acc = jnp.zeros((M, M), acc_dtype)
         for i in range(reps):
             acc += jnp.dot(a, b, preferred_element_type=acc_dtype)
-            a = (a + jnp.asarray(1, in_dtype)) if in_dtype == jnp.int8 else a * jnp.asarray(1.0001, in_dtype)
-        o_ref[:] = acc
+            a = (a + jnp.asarray(1, in_dtype)) if jnp.issubdtype(in_dtype, jnp.integer) else a * jnp.asarray(1.0001, in_dtype)
+        return acc
 
-    spec = pl.BlockSpec((M, M), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    a = jnp.ones((M, M), in_dtype)
-    b = jnp.ones((M, M), in_dtype)
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((M, M), acc_dtype),
-        grid=(GRID,),
-        in_specs=[spec, spec],
-        out_specs=spec,
-    )
-    f = jax.jit(call)
+    if use_pallas:
+        spec = pl.BlockSpec((M, M), lambda: (0, 0))
+        call = jax.jit(
+            pl.pallas_call(
+                lambda a_ref, b_ref, o_ref: o_ref.__setitem__(
+                    slice(None), body(a_ref[:], b_ref[:])
+                ),
+                out_shape=jax.ShapeDtypeStruct((M, M), acc_dtype),
+                in_specs=[spec, spec],
+                out_specs=spec,
+            )
+        )
+    else:
+        call = jax.jit(body)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 3, (M, M)), in_dtype)
+    b = jnp.asarray(rng.integers(0, 3, (M, M)), in_dtype)
+
+    # chain through a cast so each call depends on the previous result
+    def chained(x):
+        return call(x, b).astype(in_dtype)
+
     try:
-        y = f(a, b)
-        y.block_until_ready()
+        flops = _timed_chain(jax.jit(chained), a, 2 * M * M * M * reps)
     except Exception as e:
         print(json.dumps({"metric": label, "error": str(e)[:200]}), flush=True)
         return
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        y = f(a, b)
-        y.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    flops = 2 * M * M * M * reps * GRID / best
     rec = {"metric": label, "value": round(flops / 1e12, 2), "unit": "Tops/s"}
     results.append(rec)
     print(json.dumps(rec), flush=True)
@@ -155,6 +181,9 @@ def main():
     _mxu_probe(results, jnp.bfloat16, jnp.float32, "mxu_bf16_matmul")
     _mxu_probe(results, jnp.int8, jnp.int32, "mxu_int8_matmul")
     _mxu_probe(results, jnp.float32, jnp.float32, "mxu_f32_matmul")
+    _mxu_probe(results, jnp.int8, jnp.int32, "mxu_int8_matmul_xla", use_pallas=False)
+    _mxu_probe(results, jnp.uint16, jnp.uint32, "mxu_u16_matmul_xla", use_pallas=False)
+    _mxu_probe(results, jnp.bfloat16, jnp.float32, "mxu_bf16_matmul_xla", use_pallas=False)
 
     out = os.environ.get("MARLIN_PEAK_OUT")
     if out:

@@ -107,3 +107,71 @@ def test_msm_pippenger_skewed_digits():
     dev_pts = cd.from_affine_ints(pts)
     got = cd.to_affine_ints(msm.msm_pippenger(dev_pts, fr.from_ints(scalars), c=4))[0]
     assert got == hc.g1_msm(pts, scalars)
+
+
+def test_signed_digits_reconstruct():
+    import numpy as np
+
+    from marlin_tpu.ops import bigint as bi
+
+    for c in (8, 10, 12, 13, 16):
+        W = -(-256 // c)
+        scalars = [0, 1, P.R_MODULUS - 1] + [
+            rng.randrange(P.R_MODULUS) for _ in range(29)
+        ]
+        scal16 = np.asarray(
+            jnp.asarray(bi.from_mont(fr.CTX, fr.from_ints(scalars)))
+        )
+        digits = msm._signed_digits_np(scal16, c, W)
+        half = 1 << (c - 1)
+        assert digits.max() <= half and digits.min() >= -(half - 1)
+        for i, s in enumerate(scalars):
+            rec = sum(int(digits[w, i]) << (c * w) for w in range(W))
+            assert rec == s, (c, i)
+
+
+def test_msm_fixed_table_matches_host():
+    """Single-window fixed-base table path (the TPU commit route) vs the
+    host golden MSM, including a shifted-offset job and a tiny ladder job.
+    Runs the XLA fold (no pallas on CPU) — the kernels differ but the
+    layout/sign/scan logic is shared with the TPU path."""
+    n = 700
+    pts = _rand_points(n)
+    dev_pts = cd.from_affine_ints(pts)
+    c = 10
+    table = msm.build_fixed_table(dev_pts, c)
+    assert table.num_windows == 26
+
+    jobs = []
+    expected = []
+    # full-range job (>= 512 -> table path)
+    s1 = [rng.randrange(P.R_MODULUS) for _ in range(600)]
+    s1[0] = 0
+    jobs.append((0, fr.from_ints(s1)))
+    expected.append(hc.g1_msm(pts[:600], s1))
+    # shifted-offset job
+    s2 = [rng.randrange(P.R_MODULUS) for _ in range(520)]
+    jobs.append((100, fr.from_ints(s2)))
+    expected.append(hc.g1_msm(pts[100:620], s2))
+    # tiny job -> ladder fallback
+    s3 = [rng.randrange(P.R_MODULUS) for _ in range(5)]
+    jobs.append((3, fr.from_ints(s3)))
+    expected.append(hc.g1_msm(pts[3:8], s3))
+
+    out = msm.msm_fixed_many(table, jobs)
+    for got, exp in zip(out, expected):
+        assert cd.to_affine_ints(got)[0] == exp
+
+
+def test_msm_fixed_table_overflow_fallback():
+    """Repeated scalars overflow the capacity model -> classic per-job
+    fallback must still be exact."""
+    n = 600
+    pts = _rand_points(n)
+    dev_pts = cd.from_affine_ints(pts)
+    table = msm.build_fixed_table(dev_pts, 10)
+    s = rng.randrange(P.R_MODULUS)
+    scalars = [s] * n
+    jobs = [(0, fr.from_ints(scalars))]
+    out = msm.msm_fixed_many(table, jobs)
+    assert cd.to_affine_ints(out[0])[0] == hc.g1_msm(pts, scalars)

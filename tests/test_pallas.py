@@ -69,7 +69,7 @@ def test_pallas_bucket_fold_matches_sum():
     mat = tuple(m.at[:, 0].set(col[i]) for i, m in enumerate(mat))
     one = cd.from_affine_ints(affs[:1])
     mat = tuple(m.at[0, 1].set(one[i][0]) for i, m in enumerate(mat))
-    out = pcurve.bucket_fold(mat, cap, interpret=True)
+    out, flag = pcurve.bucket_fold(mat, cap, interpret=True)
     res = cd.to_affine_ints(out)
     acc = affs[0]
     for a in affs[1:]:
@@ -77,6 +77,33 @@ def test_pallas_bucket_fold_matches_sum():
     assert res[0] == acc
     assert res[1] == affs[0]
     assert res[2] is None  # identity lane
+    assert int(flag) == 0
+
+
+@pytest.mark.slow
+def test_pallas_bucket_fold_doubling_flag():
+    """A repeated point in one bucket degenerates the no-double madd: the
+    flag must fire, and the exact=True fold must produce the true sum."""
+    from marlin_tpu.fields import host_curve as hc
+    from marlin_tpu.ops import curve_device as cd
+    from marlin_tpu.ops.pallas import curve as pcurve
+
+    rng = random.Random(23)
+    cap, lanes = 16, 128
+    aff = hc.g1_mul(hc.G1_GEN, rng.randrange(1, R))
+    mat = cd.identity((cap, lanes))
+    one = cd.from_affine_ints([aff])
+    # slots 0 and 8 share sublane row 0 across two cap-steps: the madd
+    # accumulator equals the incoming point -> the no-double formula
+    # degenerates and must flag (slots 0..7 sit in distinct rows and only
+    # meet in the complete row-reduce, which needs no flag)
+    for s in (0, 8):
+        mat = tuple(m.at[s, 0].set(one[i][0]) for i, m in enumerate(mat))
+    _, flag = pcurve.bucket_fold(mat, cap, interpret=True)
+    assert int(flag) != 0
+    out, flag2 = pcurve.bucket_fold(mat, cap, interpret=True, exact=True)
+    assert int(flag2) == 0
+    assert cd.to_affine_ints(out)[0] == hc.g1_add(aff, aff)
 
 
 @pytest.mark.slow
