@@ -488,6 +488,77 @@ void marlin_g2_fixed_powers(const uint64_t *base_xy, const uint64_t *scalars, si
 /* variable-base G1 MSM (Pippenger).  points: n x 12 canonical affine   */
 /* (inf[i] nonzero = identity), scalars n x 4.  out: 12 + inf flag.     */
 
+/* Straus/wNAF (w=5) for small batches: one shared doubling chain plus a
+ * 16-entry odd-multiple table per point.  ~n*(15 + 43) adds + 256 doubles
+ * versus windowed-bucket's ~n*60 + windows*buckets combine — the combine
+ * overhead dominates exactly in the verifier's ~25-point regime
+ * (PC::check_combinations commitment/witness accumulations). */
+static void g1_msm_straus(const g1_t *pts, const uint64_t *scalars, size_t n, g1_t *total) {
+    const int W = 5, TAB = 16; /* odd multiples 1P..31P */
+    g1_t *tab = (g1_t *)malloc(sizeof(g1_t) * n * TAB);
+    int8_t *naf = (int8_t *)malloc(n * 320);
+    memset(naf, 0, n * 320);
+    int maxbit = 0;
+    for (size_t i = 0; i < n; i++) {
+        g1_t twice;
+        tab[i * TAB] = pts[i];
+        g1_double(&twice, &pts[i]);
+        for (int k = 1; k < TAB; k++) g1_add(&tab[i * TAB + k], &tab[i * TAB + k - 1], &twice);
+        /* wNAF recode: scalar as 4 LE u64 limbs */
+        uint64_t e[5] = {scalars[i * 4], scalars[i * 4 + 1], scalars[i * 4 + 2],
+                         scalars[i * 4 + 3], 0};
+        int pos = 0;
+        while (pos < 300) {
+            int limb = pos / 64, off = pos % 64;
+            uint64_t word = e[limb] >> off;
+            if (off && limb + 1 < 5) word |= e[limb + 1] << (64 - off);
+            if (!(word & 1)) {
+                if (!(e[0] | e[1] | e[2] | e[3] | e[4])) break;
+                pos++;
+                continue;
+            }
+            int d = (int)(word & ((1u << (W + 1)) - 1)); /* low W+1 bits */
+            if (d >= (1 << W)) d -= (1 << (W + 1));      /* centered odd digit */
+            naf[i * 320 + pos] = (int8_t)d;
+            if (pos > maxbit) maxbit = pos;
+            /* e -= d << pos */
+            if (d > 0) {
+                uint64_t bor = 0, sub = (uint64_t)d << off;
+                for (int l = limb; l < 5; l++) {
+                    u128 dd = (u128)e[l] - (l == limb ? sub : (l == limb + 1 && off ? ((uint64_t)d >> (64 - off)) : 0)) - bor;
+                    e[l] = (uint64_t)dd;
+                    bor = (dd >> 64) & 1;
+                }
+            } else {
+                uint64_t car = 0, add = (uint64_t)(-d) << off;
+                for (int l = limb; l < 5; l++) {
+                    u128 ss = (u128)e[l] + (l == limb ? add : (l == limb + 1 && off ? ((uint64_t)(-d) >> (64 - off)) : 0)) + car;
+                    e[l] = (uint64_t)ss;
+                    car = (uint64_t)(ss >> 64);
+                }
+            }
+            pos += W;
+        }
+    }
+    g1_set_identity(total);
+    for (int b = maxbit; b >= 0; b--) {
+        g1_double(total, total);
+        for (size_t i = 0; i < n; i++) {
+            int d = naf[i * 320 + b];
+            if (!d) continue;
+            if (d > 0) {
+                g1_add(total, total, &tab[i * TAB + (d - 1) / 2]);
+            } else {
+                g1_t neg = tab[i * TAB + (-d - 1) / 2];
+                fp_neg(neg.y, neg.y);
+                g1_add(total, total, &neg);
+            }
+        }
+    }
+    free(tab);
+    free(naf);
+}
+
 void marlin_g1_msm(const uint64_t *points, const uint8_t *inf, const uint64_t *scalars, size_t n,
                    uint64_t *out, uint8_t *out_inf) {
     int log2n = 0;
@@ -499,6 +570,14 @@ void marlin_g1_msm(const uint64_t *points, const uint8_t *inf, const uint64_t *s
     size_t nb = (size_t)1 << c;
     g1_t *pts = (g1_t *)malloc(sizeof(g1_t) * n);
     for (size_t i = 0; i < n; i++) g1_from_affine_limbs(&pts[i], points + i * 12, inf && inf[i]);
+    if (n < 64) {
+        /* verifier-size batches: Straus/wNAF beats windowed buckets */
+        g1_t total;
+        g1_msm_straus(pts, scalars, n, &total);
+        g1_batch_to_affine(&total, 1, out, out_inf);
+        free(pts);
+        return;
+    }
     /* windows are independent (rayon's parallel MSM splits the same way):
        each thread owns one window's bucket array and produces its partial
        sum; the 2^(cw) scaling + final accumulation happen afterwards. */
@@ -950,6 +1029,121 @@ static void final_exp_c(fp12 *r, const fp12 *f, const uint64_t *hard_digits) {
     *r = out;
 }
 
+/* ---- BLS12-381-specific final exponentiation (x-chain) -------------------
+ * Exact decomposition of the hard exponent (verified against the generic
+ * digit chain in tests/test_native_pairing.py):
+ *     h = (q^4 - q^2 + 1)/r = u·(x + q)·(x^2 + q^2 - 1) + 1,
+ *     u = (x - 1)^2 / 3        (x ≡ 1 mod 3 for BLS12-381)
+ * so f^h needs one 127-bit exponentiation plus three |x|-exponentiations
+ * (|x| has Hamming weight 6) instead of the 4-digit 381-bit shared chain
+ * (~384 squarings + ~750 multiplications -> ~315 squarings + ~70
+ * multiplications).  All intermediates lie in the cyclotomic subgroup
+ * (the easy part enforces m^(q^6+1) = 1), where inversion is conjugation. */
+/* Granger-Scott cyclotomic squaring.  For unitary z = A + Bw + Cw^2 over
+ * Fq4 = Fq2[y]/(y^2 - ξ)  (A = (c0.c0, c1.c1), B = (c1.c0, c0.c2),
+ * C = (c0.c1, c1.c2); y = w^3):
+ *     z^2 = (3A^2 - 2Ā) + (3yC^2 + 2B̄)w + (3B^2 - 2C̄)w^2
+ * — verified numerically against the generic tower squaring (see
+ * tests/test_native_pairing.py).  3 Fq4 squarings ≈ half a generic
+ * fp12_sqr. */
+typedef struct { fp2 c0, c1; } fp4;
+
+static void fp4_sqr(fp4 *r, const fp4 *a) {
+    /* (a0^2 + ξ a1^2, 2 a0 a1) */
+    fp2 t, s0, s1;
+    fp2_mul(&t, &a->c0, &a->c1);
+    fp2_sqr(&s0, &a->c0);
+    fp2_sqr(&s1, &a->c1);
+    fp2_mul_by_xi(&s1, &s1);
+    fp2_add(&r->c0, &s0, &s1);
+    fp2_dbl(&r->c1, &t);
+}
+
+static void fp4_muly(fp4 *r, const fp4 *a) {
+    fp2 t;
+    fp2_mul_by_xi(&t, &a->c1);
+    r->c1 = a->c0;
+    r->c0 = t;
+}
+
+static void fp12_cyclo_sqr(fp12 *r, const fp12 *z) {
+    fp4 A = {0}, B = {0}, C = {0}, A2, B2, C2, yC2;
+    A.c0 = z->c0.c0; A.c1 = z->c1.c1;
+    B.c0 = z->c1.c0; B.c1 = z->c0.c2;
+    C.c0 = z->c0.c1; C.c1 = z->c1.c2;
+    fp4_sqr(&A2, &A);
+    fp4_sqr(&B2, &B);
+    fp4_sqr(&C2, &C);
+    fp4_muly(&yC2, &C2);
+    fp2 t;
+#define CY_OUT(dst0, dst1, sq, orig_c0, orig_c1, sign)                                   \
+    do {                                                                                 \
+        /* dst = 3*sq sign 2*conj(orig); conj flips the y (c1) component */              \
+        fp2_dbl(&t, &(sq).c0);                                                           \
+        fp2_add(&t, &t, &(sq).c0);                                                       \
+        fp2 o0 = orig_c0, o1 = orig_c1, d;                                               \
+        fp2_dbl(&d, &o0);                                                                \
+        if (sign > 0) fp2_add(&(dst0), &t, &d);                                          \
+        else fp2_sub(&(dst0), &t, &d);                                                   \
+        fp2_dbl(&t, &(sq).c1);                                                           \
+        fp2_add(&t, &t, &(sq).c1);                                                       \
+        fp2_dbl(&d, &o1);                                                                \
+        if (sign > 0) fp2_sub(&(dst1), &t, &d);                                          \
+        else fp2_add(&(dst1), &t, &d);                                                   \
+    } while (0)
+    /* A' = 3A^2 - 2Ā : conj(A) = (A.c0, -A.c1) so c0 gets -2A.c0, c1 gets +2A.c1 */
+    CY_OUT(r->c0.c0, r->c1.c1, A2, A.c0, A.c1, -1);
+    /* B' = 3yC^2 + 2B̄ : c0 gets +2B.c0, c1 gets -2B.c1 */
+    CY_OUT(r->c1.c0, r->c0.c2, yC2, B.c0, B.c1, +1);
+    /* C' = 3B^2 - 2C̄ */
+    CY_OUT(r->c0.c1, r->c1.c2, B2, C.c0, C.c1, -1);
+#undef CY_OUT
+}
+
+static void fp12_pow_u128_cyclo(fp12 *r, const fp12 *m, unsigned __int128 e) {
+    fp12 acc;
+    int started = 0;
+    for (int b = 127; b >= 0; b--) {
+        if (started) fp12_cyclo_sqr(&acc, &acc);
+        if ((uint64_t)((e >> b) & 1)) {
+            if (started) fp12_mul(&acc, &acc, m);
+            else { acc = *m; started = 1; }
+        }
+    }
+    if (!started) fp12_one(&acc);
+    *r = acc;
+}
+
+static void final_exp_x(fp12 *r, const fp12 *f) {
+    fp12 m, t, u_;
+    /* easy part: m = (conj(f)/f)^(q^2+1) — identical to final_exp_c */
+    fp12_conj(&t, f);
+    fp12_inv(&u_, f);
+    fp12_mul(&m, &t, &u_);
+    fp12_frob(&t, &m);
+    fp12_frob(&t, &t);
+    fp12_mul(&m, &t, &m);
+    /* hard part */
+    unsigned __int128 xm1 = (unsigned __int128)BLS_X_ABS + 1; /* |x - 1|, x < 0 */
+    unsigned __int128 u = xm1 * xm1 / 3;
+    fp12 a, b, c, t2;
+    fp12_pow_u128_cyclo(&a, &m, u); /* (x-1)^2 > 0: no sign fixup */
+    /* b = a^(x+q) = conj(a^|x|) · frob(a) */
+    fp12_pow_u128_cyclo(&t2, &a, (unsigned __int128)BLS_X_ABS);
+    fp12_conj(&t2, &t2);
+    fp12_frob(&b, &a);
+    fp12_mul(&b, &b, &t2);
+    /* c = b^(x^2+q^2-1) = b^(x^2) · frob^2(b) · conj(b) */
+    fp12_pow_u128_cyclo(&t2, &b, (unsigned __int128)BLS_X_ABS);
+    fp12_pow_u128_cyclo(&t2, &t2, (unsigned __int128)BLS_X_ABS); /* (-x)^2 = x^2 */
+    fp12_frob(&c, &b);
+    fp12_frob(&c, &c);
+    fp12_mul(&c, &c, &t2);
+    fp12_conj(&t2, &b);
+    fp12_mul(&c, &c, &t2);
+    fp12_mul(r, &c, &m);
+}
+
 /* boundary: canonical LE u64 <-> Montgomery fp12.  Layout matches the
  * Python tuple nesting ((c00,c01,c02),(c10,c11,c12)), each fq2 (a0,a1),
  * each fq 6 limbs: 72 u64 total. */
@@ -998,6 +1192,15 @@ void marlin_final_exp(const uint64_t *f_limbs /*72*/, const uint64_t *hard_digit
     fp12 f, r;
     fp12_from_limbs(&f, f_limbs);
     final_exp_c(&r, &f, hard_digits);
+    fp12_to_limbs(out, &r);
+}
+
+/* x-chain final exponentiation (production path; digit-chain entry above
+ * is kept as the differential-test oracle). */
+void marlin_final_exp_x(const uint64_t *f_limbs /*72*/, uint64_t *out) {
+    fp12 f, r;
+    fp12_from_limbs(&f, f_limbs);
+    final_exp_x(&r, &f);
     fp12_to_limbs(out, &r);
 }
 
@@ -1151,7 +1354,8 @@ int marlin_multi_pairing_prepared(const uint64_t *g1s, const uint8_t *g1_inf,
     /* x < 0: conjugate the merged product (automorphism distributes) */
     fp12_conj(&f, &f);
     fp12 r;
-    final_exp_c(&r, &f, hard_digits);
+    (void)hard_digits; /* x-chain path; digit chain kept for the test oracle */
+    final_exp_x(&r, &f);
     return fp12_is_one(&r);
 }
 
@@ -1176,6 +1380,7 @@ int marlin_multi_pairing(const uint64_t *g1s, const uint8_t *g1_inf, const uint6
         fp12_mul(&f, &f, &t);
     }
     fp12 r;
-    final_exp_c(&r, &f, hard_digits);
+    (void)hard_digits;
+    final_exp_x(&r, &f);
     return fp12_is_one(&r);
 }

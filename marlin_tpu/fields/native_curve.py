@@ -57,6 +57,7 @@ def _load():
             ("marlin_g2_mul", [_U64P, _U64P, _U64P, _U8P]),
             ("marlin_miller_loop", [_U64P, ctypes.c_uint8, _U64P, ctypes.c_uint8, _U64P]),
             ("marlin_final_exp", [_U64P, _U64P, _U64P]),
+            ("marlin_final_exp_x", [_U64P, _U64P]),
             ("marlin_g2_prepare", [_U64P, _U64P]),
         ):
             fn = getattr(lib, name)
@@ -269,6 +270,16 @@ def miller_loop(p_affine, q_affine):
 
 
 def final_exponentiation(f):
+    """Production x-chain final exponentiation (exact f^h; see
+    csrc final_exp_x — h = u·(x+q)·(x²+q²-1)+1, u = (x-1)²/3)."""
+    lib = _load()
+    out = np.zeros(72, dtype=np.uint64)
+    lib.marlin_final_exp_x(_fq12_to_limbs(f), out)
+    return _limbs_to_fq12(out)
+
+
+def final_exponentiation_digits(f):
+    """Generic 4-digit base-q shared-chain path (differential oracle)."""
     lib = _load()
     out = np.zeros(72, dtype=np.uint64)
     lib.marlin_final_exp(_fq12_to_limbs(f), _hard_digits_arr(), out)

@@ -111,3 +111,12 @@ def test_prepared_three_pairs(points):
         (hc.g1_neg(hc.g1_mul(p1, a + b)), q1),
     ]
     assert nc.multi_pairing(pairs)
+
+
+def test_final_exp_x_chain_matches_digit_chain(points):
+    """The BLS12-381 x-chain hard part (h = u(x+q)(x²+q²-1)+1, u=(x-1)²/3)
+    must equal the generic 4-digit base-q shared chain bit-for-bit."""
+    p1, p2, q1, q2 = points
+    for p, q in ((p1, q1), (p2, q2), (p1, q2)):
+        f = nc.miller_loop(p, q)
+        assert nc.final_exponentiation(f) == nc.final_exponentiation_digits(f)
