@@ -172,9 +172,12 @@ def _sharded_or_none(x: jnp.ndarray, inverse: bool):
     n1 = 1 << (log_n // 2)
     if n1 % d or (n // n1) % d:
         return None
-    from ..parallel.ntt_sharded import ntt_4step
+    from ..parallel.ntt_sharded import ntt_4step_resident
 
-    return ntt_4step(x, ctx.mesh, ctx.axis, inverse=inverse)
+    # resident variant: flat block sharding at BOTH ends, so chained
+    # NTT -> elementwise -> iNTT sequences inside a round never gather a
+    # full copy per device (SURVEY §5.7 domain sharding; VERDICT r3 #4)
+    return ntt_4step_resident(x, ctx.mesh, ctx.axis, inverse=inverse)
 
 
 def ntt(coeffs: jnp.ndarray, n: int | None = None) -> jnp.ndarray:

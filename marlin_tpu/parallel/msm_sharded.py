@@ -42,6 +42,27 @@ def _local_pippenger(px, py, pz, scal, axis, c: int):
     return total + (jax.lax.psum(spill, axis),)
 
 
+def _local_window_block(px, py, pz, scal, axis, c: int, wpd: int):
+    """Window-sharded body: this device owns windows [idx*wpd, (idx+1)*wpd)
+    over the FULL point set (points arrive replicated).  Per-window bucket
+    statistics match the single-chip kernel regardless of D, fixing the
+    small-n/D efficiency collapse of point sharding (per-shard windows
+    shrink as n/D drops).  The cross-device combine is an all_gather of
+    D*wpd window sums (tiny) + the standard Horner combine."""
+    from .multihost import axis_flat_index
+
+    canonical = bi.from_mont(fr.CTX, scal)
+    w0 = axis_flat_index(axis) * wpd
+    stacked, spill = msm_mod.pippenger_device_window_block(
+        (px, py, pz), canonical, c, wpd, w0
+    )
+    gathered = tuple(
+        jax.lax.all_gather(stacked[i], axis, axis=0, tiled=True) for i in range(3)
+    )
+    total = msm_mod._combine_windows(gathered, c)
+    return total + (jax.lax.psum(spill, axis),)
+
+
 def _local_ladder(px, py, pz, scal, axis):
     canonical = bi.from_mont(fr.CTX, scal)
     part = cd.scalar_mul_batch((px, py, pz), canonical, FR_BITS)
@@ -78,6 +99,24 @@ def msm_sharded_core(
         )
         pt = shard(points[0], points[1], points[2], scalars_mont)
         return pt, jnp.int32(0)
+
+    d = axis_size(mesh, axis)
+    if n_local < (1 << 14):
+        # small shards: point sharding shrinks per-shard windows (c falls
+        # with n_local) and efficiency collapses; shard by WINDOW instead —
+        # replicate the points, full-n window statistics per device
+        c = min(13, max(6, n.bit_length() - 6))
+        num_windows = -(-FR_BITS // c)
+        wpd = -(-num_windows // d)
+        shard = jax.shard_map(
+            lambda px, py, pz, s: _local_window_block(px, py, pz, s, axis, c, wpd),
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(PS(None, None),) * 4,
+            out_specs=(PS(None, None),) * 3 + (PS(),),
+        )
+        x, y, z, spill = shard(points[0], points[1], points[2], scalars_mont)
+        return (x, y, z), spill
 
     c = min(13, max(6, n_local.bit_length() - 6))
     shard = jax.shard_map(

@@ -67,3 +67,17 @@ def axis_size(mesh: Mesh, axis) -> int:
             out *= mesh.shape[a]
         return out
     return mesh.shape[axis]
+
+
+def axis_flat_index(axis):
+    """Flattened device index along a (possibly tuple) data axis — usable
+    inside shard_map (row-major over the tuple's axes, matching how a
+    tuple axis shards an array)."""
+    import jax
+
+    if isinstance(axis, (tuple, list)):
+        idx = jax.lax.axis_index(axis[0])
+        for a in axis[1:]:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        return idx
+    return jax.lax.axis_index(axis)

@@ -302,18 +302,21 @@ def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
                 ints = fr.to_ints(scal)
                 out.append(hc.g1_msm(host_powers[off : off + len(ints)], ints))
             return out
-    jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, table=_ensure_msm_table(ck.pp))
-    stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    affs = cd.to_affine_ints_host(stacked)
+    with profiling.span("msm jobs: dispatch"):
+        jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, table=_ensure_msm_table(ck.pp))
+        stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
+    with profiling.span("msm jobs: result fetch + normalize"):
+        affs = cd.to_affine_ints_host(stacked)
     if msm_mod.fold_flags_fired():
-        # a no-double bucket-fold madd degenerated (astronomically cold for
-        # an honest SRS — would exhibit a discrete-log relation between
-        # powers of τ); rerun the whole job batch with the complete madd
-        jacs = msm_mod.msm_many(
-            ck.pp.powers_of_g, jobs, exact=True, table=_ensure_msm_table(ck.pp)
-        )
+        # a table-path bucket overflowed its capacity (degenerate scalar
+        # pattern) or a no-double madd degenerated (astronomically cold
+        # for an honest SRS): rerun the whole batch on the classic exact
+        # path — no table (its capacity model is what failed), complete
+        # madds
+        jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, exact=True)
         stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
         affs = cd.to_affine_ints_host(stacked)
+        msm_mod.fold_flags_fired()  # drain any flags from the exact rerun
     return affs
 
 

@@ -133,10 +133,12 @@ def _run_jobs(ck: SonicCommitterKey, jobs: list, powers: str = "g") -> list:
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
     affs = cd.to_affine_ints_host(stacked)
     if msm_mod.fold_flags_fired():
-        # see kzg._run_msm_jobs: no-double madd degenerated; rerun exact
-        jacs = msm_mod.msm_many(pts, jobs, exact=True, table=table)
+        # see kzg._run_msm_jobs: capacity overflow or madd degeneracy;
+        # rerun on the classic exact path (no table)
+        jacs = msm_mod.msm_many(pts, jobs, exact=True)
         stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
         affs = cd.to_affine_ints_host(stacked)
+        msm_mod.fold_flags_fired()
     return affs
 
 

@@ -159,13 +159,15 @@ def test_msm_fixed_table_matches_host():
     expected.append(hc.g1_msm(pts[3:8], s3))
 
     out = msm.msm_fixed_many(table, jobs)
+    assert not msm.fold_flags_fired()  # random scalars: no spill/degeneracy
     for got, exp in zip(out, expected):
         assert cd.to_affine_ints(got)[0] == exp
 
 
-def test_msm_fixed_table_overflow_fallback():
-    """Repeated scalars overflow the capacity model -> classic per-job
-    fallback must still be exact."""
+def test_msm_fixed_table_overflow_flags():
+    """Repeated scalars overflow the capacity model: the deferred flag
+    must fire, and the classic-exact rerun (what kzg._run_msm_jobs does on
+    a fired flag) must produce the true sum."""
     n = 600
     pts = _rand_points(n)
     dev_pts = cd.from_affine_ints(pts)
@@ -173,5 +175,8 @@ def test_msm_fixed_table_overflow_fallback():
     s = rng.randrange(P.R_MODULUS)
     scalars = [s] * n
     jobs = [(0, fr.from_ints(scalars))]
-    out = msm.msm_fixed_many(table, jobs)
+    msm.fold_flags_fired()  # clear
+    msm.msm_fixed_many(table, jobs)
+    assert msm.fold_flags_fired()
+    out = msm.msm_many(dev_pts, jobs, exact=True)
     assert cd.to_affine_ints(out[0])[0] == hc.g1_msm(pts, scalars)

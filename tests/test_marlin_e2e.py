@@ -2,13 +2,11 @@
 
 The five matrix-shape tests sweep the padding paths (tall/squat/square);
 each runs index -> prove -> verify with fresh witnesses plus the negative
-check that a wrong public input rejects.  Iteration counts are reduced from
-the reference's 100 (the compiled kernels are shape-cached, so one
-iteration exercises the same code paths); MARLIN_TPU_SOAK_ITERS=n restores
-a randomness-soak tier (fresh witnesses each iteration, covering
-rejection-sampling and bucket-layout edge cases the cached-kernel argument
-does not).  Suggested soak: MARLIN_TPU_SOAK_ITERS=10 with
-MARLIN_TPU_DEBUG_CHECKS=1.
+check that a wrong public input rejects.  Every shape soaks 10 fresh-witness
+iterations with the debug zero-LC/degree asserts armed (the reference runs
+100 per shape, src/test.rs:137; 10 covers the randomized paths — rejection
+sampling, bucket-layout skew, spill/doubling-flag fallbacks — at suite-budget
+cost).  MARLIN_TPU_SOAK_ITERS=n scales every shape higher on demand.
 """
 
 import os
@@ -28,9 +26,23 @@ def srs():
     return Marlin.universal_setup(100, 25, 300, test_rng())
 
 
-def _test_circuit(srs, num_constraints, num_variables, iterations=1):
+def _test_circuit(srs, num_constraints, num_variables, iterations=1, debug=False):
     iterations = max(iterations, int(os.environ.get("MARLIN_TPU_SOAK_ITERS", "0")))
     rng = test_rng()
+    prev = os.environ.get("MARLIN_TPU_DEBUG_CHECKS")
+    if debug:
+        os.environ["MARLIN_TPU_DEBUG_CHECKS"] = "1"
+    try:
+        _run_circuit_iters(srs, num_constraints, num_variables, iterations, rng)
+    finally:
+        if debug:
+            if prev is None:
+                os.environ.pop("MARLIN_TPU_DEBUG_CHECKS", None)
+            else:
+                os.environ["MARLIN_TPU_DEBUG_CHECKS"] = prev
+
+
+def _run_circuit_iters(srs, num_constraints, num_variables, iterations, rng):
     for it in range(iterations):
         a = rng.rand_fr()
         b = rng.rand_fr()
@@ -45,27 +57,27 @@ def _test_circuit(srs, num_constraints, num_variables, iterations=1):
 
 @pytest.mark.slow
 def test_tall_matrix_big(srs):
-    _test_circuit(srs, 100, 25, iterations=2)
+    _test_circuit(srs, 100, 25, iterations=10, debug=True)
 
 
 @pytest.mark.slow
 def test_tall_matrix_small(srs):
-    _test_circuit(srs, 26, 25)
+    _test_circuit(srs, 26, 25, iterations=10, debug=True)
 
 
 @pytest.mark.slow
 def test_squat_matrix_big(srs):
-    _test_circuit(srs, 25, 100)
+    _test_circuit(srs, 25, 100, iterations=10, debug=True)
 
 
 @pytest.mark.slow
 def test_squat_matrix_small(srs):
-    _test_circuit(srs, 25, 26)
+    _test_circuit(srs, 25, 26, iterations=10, debug=True)
 
 
 @pytest.mark.slow
 def test_square_matrix(srs):
-    _test_circuit(srs, 25, 25)
+    _test_circuit(srs, 25, 25, iterations=10, debug=True)
 
 
 @pytest.mark.slow
