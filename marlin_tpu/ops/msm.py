@@ -491,7 +491,7 @@ def _signed_digits_np(scal: np.ndarray, c: int, num_windows: int) -> np.ndarray:
     return digits
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _single_window_kernel(
     points: cd.Point, layout: jnp.ndarray, n_jobs: int, nb: int, cap: int, exact: bool = False
 ):

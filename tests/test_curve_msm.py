@@ -158,6 +158,7 @@ def test_msm_fixed_table_matches_host():
     jobs.append((3, fr.from_ints(s3)))
     expected.append(hc.g1_msm(pts[3:8], s3))
 
+    msm.fold_flags_fired()  # drain flags left by earlier tests' classic MSMs
     out = msm.msm_fixed_many(table, jobs)
     assert not msm.fold_flags_fired()  # random scalars: no spill/degeneracy
     for got, exp in zip(out, expected):

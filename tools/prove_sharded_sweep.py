@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Full sharded prove at scale on the virtual CPU mesh (BASELINE config 4).
+
+Runs a DummyCircuit prove at 2^LOG2N constraints with the Sonic PC over an
+8-device mesh — every round NTT through ntt_4step_resident (flat block
+sharding at both ends) and every commit MSM through the sharded Pippenger
+— then the single-chip reference, asserting the proofs are BITWISE equal
+and the proof verifies.  Records per-device shard bytes of the round
+oracles (the §5.7 bounded-memory claim) and wall times.
+
+Emits one JSON line (append to SCALING_r04.jsonl).
+
+Env: MARLIN_SWEEP_PROVE_LOG2N (default 20), MARLIN_SWEEP_PROVE_PC
+(sonic|marlin, default sonic), MARLIN_SWEEP_DEVICES (default 8).
+"""
+
+import json
+import os
+import resource
+import sys
+import time
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ["MARLIN_TPU_XLA_CACHE"] = ""
+# eager primitives: fused 2^20-shape round graphs take tens of minutes to
+# compile on XLA:CPU (bench.py's CPU-fallback lesson)
+os.environ["MARLIN_TPU_FUSE_ROUNDS"] = "0"
+
+import jax
+
+try:
+    from jax._src import xla_bridge as _xb
+
+    for _name in list(getattr(_xb, "_backend_factories", {})):
+        if _name not in ("cpu", "interpreter", "tpu"):
+            _xb._backend_factories.pop(_name, None)
+except Exception:
+    pass
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", int(os.environ.get("MARLIN_SWEEP_DEVICES", "8")))
+
+import numpy as np
+from jax.sharding import Mesh
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    log2n = int(os.environ.get("MARLIN_SWEEP_PROVE_LOG2N", "20"))
+    pc = os.environ.get("MARLIN_SWEEP_PROVE_PC", "sonic")
+    d = int(os.environ.get("MARLIN_SWEEP_DEVICES", "8"))
+    n = 1 << log2n
+
+    from circuits import DummyCircuit
+
+    from marlin_tpu import Marlin, MarlinSonic
+    from marlin_tpu.fields import bls12_381 as P
+    from marlin_tpu.snark import serial
+    from marlin_tpu.utils.rand import test_rng
+
+    M = MarlinSonic if pc == "sonic" else Marlin
+    devs = np.array(jax.devices()[:d])
+    mesh = Mesh(devs, ("x",))
+
+    t0 = time.perf_counter()
+
+    def log(msg):
+        print(f"[psweep +{time.perf_counter()-t0:8.1f}s] {msg}", flush=True)
+
+    a, b = 3, 7
+    circ = DummyCircuit(a, b, num_variables=10, num_constraints=n)
+    log(f"SRS for 2^{log2n} ({pc})")
+    from marlin_tpu.snark import ahp
+
+    max_degree = ahp.max_degree(n, n, 3 * n)
+    srs = serial.cached_srs(max_degree, test_rng(), flavor=pc if pc == "sonic" else "marlin")
+    log("index")
+    pk, vk = M.index(srs, circ)
+    log("sharded prove")
+    t_sh = time.perf_counter()
+    proof_sharded = M.prove(pk, circ, test_rng(), mesh=mesh)
+    sharded_bytes = proof_sharded.to_bytes()
+    t_sh = time.perf_counter() - t_sh
+    log(f"sharded prove done in {t_sh:.1f}s; verifying")
+    ok_verify = M.verify(vk, [a * b % P.R_MODULUS], proof_sharded, test_rng())
+    log(f"verify: {ok_verify}; single-chip reference prove")
+    t_single = time.perf_counter()
+    proof_single = M.prove(pk, circ, test_rng())
+    t_single = time.perf_counter() - t_single
+    bitwise = proof_single.to_bytes() == sharded_bytes
+    log(f"single-chip done in {t_single:.1f}s; bitwise_equal={bitwise}")
+
+    # bounded-memory evidence: a block-sharded [n,16] oracle holds n/D rows
+    # per device; report the largest per-device shard the resident NTT path
+    # produces for an |H|-sized vector on this mesh
+    from marlin_tpu.ops import fr
+    from marlin_tpu.parallel.ntt_sharded import block_sharding, ntt_4step_resident
+
+    x = jax.device_put(
+        fr.from_ints([1] * n), block_sharding(mesh)
+    )
+    ev = ntt_4step_resident(x, mesh)
+    shard_rows = {s.data.shape[0] for s in ev.addressable_shards}
+    per_dev_mb = max(shard_rows) * 16 * 4 / 2**20
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
+
+    rec = {
+        "kernel": f"sharded_prove_{pc}",
+        "log2n": log2n,
+        "devices": d,
+        "bitwise_equal": bool(bitwise),
+        "verified": bool(ok_verify),
+        "prove_wall_s_sharded": round(t_sh, 1),
+        "prove_wall_s_single": round(t_single, 1),
+        "resident_ntt_per_device_mb": round(per_dev_mb, 2),
+        "resident_ntt_shard_rows": sorted(shard_rows),
+        "host_peak_rss_gb": round(peak_rss_gb, 2),
+    }
+    print(json.dumps(rec), flush=True)
+    if not (bitwise and ok_verify):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
