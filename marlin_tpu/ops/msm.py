@@ -556,26 +556,9 @@ def _signed_digits_device(scal16: jnp.ndarray, c: int, num_windows: int) -> jnp.
     return jnp.stack(ds)
 
 
-def _signed_layout_device(
-    scal16: jnp.ndarray, c: int, num_windows: int, nb: int, cap: int, n_base: int, offset: int
-):
-    """Device bucket-matrix layout for the single merged signed window.
-
-    Returns (layout [cap·nb] int32 with the ±(index+1)/0 encoding of
-    _single_window_kernel, spill count).  Entries whose bucket rank
-    exceeds `cap` are dropped and counted — the caller must detect
-    spill != 0 (via the deferred fold flags) and rerun exactly."""
-    n = scal16.shape[0]
-    d = _signed_digits_device(scal16, c, num_windows)  # [W, n]
-    bucket = jnp.abs(d)
-    tbl = (
-        jnp.arange(num_windows, dtype=jnp.int32)[:, None] * n_base
-        + (offset + 1)
-        + jnp.arange(n, dtype=jnp.int32)[None, :]
-    )
-    enc = jnp.where(d < 0, -tbl, tbl)
-    b_flat = bucket.reshape(-1)
-    enc_flat = enc.reshape(-1)
+def _signed_bucketize_device(b_flat: jnp.ndarray, enc_flat: jnp.ndarray, nb: int, cap: int):
+    """Slot-major [cap·nb] layout from (bucket, ±encoded-index) pairs with
+    the 0-empty encoding of _single_window_kernel; returns (layout, spill)."""
     order = jnp.argsort(b_flat, stable=True).astype(jnp.int32)
     b_sorted = b_flat[order]
     enc_sorted = enc_flat[order]
@@ -590,6 +573,78 @@ def _signed_layout_device(
     pos = jnp.where(valid, col * nb + b_sorted, nb * cap)
     layout = jnp.zeros(cap * nb, jnp.int32).at[pos].set(enc_sorted, mode="drop")
     return layout, spill
+
+
+def _signed_layout_device(
+    scal16: jnp.ndarray,
+    c: int,
+    num_windows: int,
+    nb: int,
+    cap: int,
+    n_base: int,
+    offset: int,
+    nb_top: int,
+    cap_top: int,
+):
+    """Device bucket-matrix layouts for the merged signed window.
+
+    The top window is laid out SEPARATELY: it only spans the modulus's
+    leftover high bits (e.g. 4 bits for BLS12-381 at c=12), so its digits
+    concentrate in buckets 1..2^tb — pooled into the merged layout they
+    blow the Poisson capacity model for every honest scalar set (this
+    fired the exact-rerun flag on every commit until round 4).
+
+    Returns (merged layout [cap·nb] over windows 0..W-2, top layout
+    [cap_top·nb_top], spill count).  Spill != 0 (via the deferred fold
+    flags) sends the caller to the exact classic rerun."""
+    n = scal16.shape[0]
+    d = _signed_digits_device(scal16, c, num_windows)  # [W, n]
+    body, top = d[: num_windows - 1], d[num_windows - 1]
+    bucket = jnp.abs(body)
+    tbl = (
+        jnp.arange(num_windows - 1, dtype=jnp.int32)[:, None] * n_base
+        + (offset + 1)
+        + jnp.arange(n, dtype=jnp.int32)[None, :]
+    )
+    enc = jnp.where(body < 0, -tbl, tbl)
+    layout, spill = _signed_bucketize_device(
+        bucket.reshape(-1), enc.reshape(-1), nb, cap
+    )
+    # top window: digits are non-negative (raw <= 2^tb < 2^(c-1))
+    top_tbl = (
+        (num_windows - 1) * n_base
+        + (offset + 1)
+        + jnp.arange(n, dtype=jnp.int32)
+    )
+    top_layout, top_spill = _signed_bucketize_device(top, top_tbl, nb_top, cap_top)
+    return layout, top_layout, spill + top_spill
+
+
+@functools.lru_cache(maxsize=None)
+def _top_digit_pmax(c: int, num_windows: int) -> tuple:
+    """(max bucket index, max single-digit probability) of the top-window
+    digit for scalars uniform below the active modulus.  Static per
+    (curve, c): shapes derived from it are data-independent."""
+    r = P.R_MODULUS
+    s = c * (num_windows - 1)
+    hi = (r - 1) >> s
+    p_max = max(
+        min(r, (b + 1) << s) - (b << s) for b in range(hi + 1)
+    ) / r
+    # +1: the signed recoding's carry out of window W-2
+    return hi + 1, p_max
+
+
+def _top_fold_shape(n_j: int, c: int, num_windows: int) -> tuple:
+    """(nb_top, cap_top) for the top-window fold: bucket count from the
+    modulus's high bits, capacity from the binomial load model (same
+    6-sigma slack as the merged window; adversarial concentration spills
+    and flags like everything else)."""
+    max_digit, p_max = _top_digit_pmax(c, num_windows)
+    nb_top = max_digit + 1
+    lam = max(1.0, n_j * p_max)
+    cap_top = int(np.ceil((lam + 6 * np.sqrt(lam) + 8) / 8.0)) * 8
+    return nb_top, cap_top
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
@@ -607,24 +662,41 @@ def _fixed_group_kernel(
     """Digits -> layouts -> gather/fold -> bucket scans for a cap-group of
     jobs, entirely on device (ONE dispatch, no host layout pass and no
     multi-MB layout upload through the tunnel — that upload dominated the
-    first table-path bench capture)."""
+    first table-path bench capture).  Two folds: the merged signed window
+    over windows 0..W-2 plus a narrow top-window fold (see
+    _signed_layout_device for why the top window can't share the merged
+    bucket space)."""
     scal16 = bi.from_mont(fr.CTX, scal_cat)
     n_base = points[0].shape[0] // num_windows
+    nb_top, cap_top = _top_fold_shape(max(sizes), c, num_windows)
     layouts = []
+    top_layouts = []
     spill = jnp.zeros((), jnp.uint32)
     pos = 0
     for n_j, off in zip(sizes, offsets):
-        lay, s = _signed_layout_device(
-            scal16[pos : pos + n_j], c, num_windows, nb, cap, n_base, off
+        lay, top_lay, s = _signed_layout_device(
+            scal16[pos : pos + n_j], c, num_windows, nb, cap, n_base, off,
+            nb_top, cap_top,
         )
         layouts.append(lay)
+        top_layouts.append(top_lay)
         spill = spill + s
         pos += n_j
     big = (
         jnp.stack(layouts).reshape(len(sizes), cap, nb).swapaxes(0, 1).reshape(-1)
     )
     totals, flag = _single_window_kernel(points, big, len(sizes), nb, cap, exact)
-    return totals, flag + spill
+    big_top = (
+        jnp.stack(top_layouts)
+        .reshape(len(sizes), cap_top, nb_top)
+        .swapaxes(0, 1)
+        .reshape(-1)
+    )
+    top_totals, top_flag = _single_window_kernel(
+        points, big_top, len(sizes), nb_top, cap_top, exact
+    )
+    totals = cd.add(totals, top_totals)
+    return totals, flag + top_flag + spill
 
 
 def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> list:
@@ -648,7 +720,8 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
             pts = tuple(table.points[i][off : off + n_j] for i in range(3))
             out[ji] = msm_ladder(pts, scal)
             continue
-        lam = max(1, (n_j * W) // (nb - 1))
+        # merged layout spans windows 0..W-2; the top window folds apart
+        lam = max(1, (n_j * (W - 1)) // (nb - 1))
         cap = int(np.ceil((lam + 6 * np.sqrt(lam) + 8) / 8.0)) * 8
         by_cap.setdefault(cap, []).append(ji)
 

@@ -275,6 +275,9 @@ def _ensure_msm_table(pp: UniversalParams):
 
     if not routing.use_pallas() or os.environ.get("MARLIN_TPU_MSM_TABLE") == "0":
         return None
+    if P.FR_BITS > 255:
+        # the table path's window count assumes 16-limb (<=255-bit) scalars
+        return None
     table = getattr(pp, "_msm_table", None)
     if table is not None:
         return table
@@ -313,6 +316,7 @@ def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
         # for an honest SRS): rerun the whole batch on the classic exact
         # path — no table (its capacity model is what failed), complete
         # madds
+        print("[kzg] fold flag fired: exact classic rerun", flush=True)
         jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, exact=True)
         stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
         affs = cd.to_affine_ints_host(stacked)
@@ -360,6 +364,12 @@ def commit(ck: CommitterKey, labeled_polys: list, rng: ZkRng | None):
 
     affs = _run_msm_jobs(ck, jobs)
 
+    with profiling.span("commit: blinding + assembly"):
+        out, rands = _assemble_commitments(ck, meta, rands, affs)
+    return out, rands
+
+
+def _assemble_commitments(ck, meta, rands, affs):
     out = []
     for e in meta:
         r = e["rand"]

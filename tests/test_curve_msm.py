@@ -165,6 +165,24 @@ def test_msm_fixed_table_matches_host():
         assert cd.to_affine_ints(got)[0] == exp
 
 
+def test_msm_fixed_table_top_window_no_spill():
+    """Round-4 regression: at production c (12) the top window spans only
+    ~4 modulus bits, so its digits land in buckets 1..8 — pooled into the
+    merged layout they overflowed the capacity model for EVERY honest
+    scalar set, firing the exact-rerun flag on each commit (2x prover
+    cost).  The split top-window fold must stay flag-free and exact."""
+    n = 1100
+    pts = _rand_points(n)
+    dev_pts = cd.from_affine_ints(pts)
+    table = msm.build_fixed_table(dev_pts, 12)
+    s = [rng.randrange(P.R_MODULUS) for _ in range(1024)]
+    jobs = [(0, fr.from_ints(s))]
+    msm.fold_flags_fired()  # drain
+    out = msm.msm_fixed_many(table, jobs)
+    assert not msm.fold_flags_fired()
+    assert cd.to_affine_ints(out[0])[0] == hc.g1_msm(pts[:1024], s)
+
+
 def test_msm_fixed_table_overflow_flags():
     """Repeated scalars overflow the capacity model: the deferred flag
     must fire, and the classic-exact rerun (what kzg._run_msm_jobs does on

@@ -25,6 +25,14 @@ os.environ["MARLIN_TPU_XLA_CACHE"] = ""
 # eager primitives: fused 2^20-shape round graphs take tens of minutes to
 # compile on XLA:CPU (bench.py's CPU-fallback lesson)
 os.environ["MARLIN_TPU_FUSE_ROUNDS"] = "0"
+# commit MSMs through the native C Pippenger: the XLA:CPU limb curve
+# kernels are ~100x slower, making device-sharded commit MSMs at 2^20
+# infeasible on a virtual CPU mesh.  The sharded-MSM path is validated
+# separately (tests/test_sharded.py, scaling_sweep.py); THIS sweep's
+# deliverable is the resident domain sharding — every round NTT still
+# runs as the block-sharded 4-step transform.  Proofs are bit-identical
+# either way.  (Recorded as msm_route in the output row.)
+os.environ.setdefault("MARLIN_TPU_HOST_MSM", "1")
 
 import jax
 
@@ -110,6 +118,7 @@ def main():
         "kernel": f"sharded_prove_{pc}",
         "log2n": log2n,
         "devices": d,
+        "msm_route": "host_c" if os.environ.get("MARLIN_TPU_HOST_MSM") == "1" else "sharded",
         "bitwise_equal": bool(bitwise),
         "verified": bool(ok_verify),
         "prove_wall_s_sharded": round(t_sh, 1),
