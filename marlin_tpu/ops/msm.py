@@ -558,21 +558,28 @@ def _signed_digits_device(scal16: jnp.ndarray, c: int, num_windows: int) -> jnp.
 
 def _signed_bucketize_device(b_flat: jnp.ndarray, enc_flat: jnp.ndarray, nb: int, cap: int):
     """Slot-major [cap·nb] layout from (bucket, ±encoded-index) pairs with
-    the 0-empty encoding of _single_window_kernel; returns (layout, spill)."""
+    the 0-empty encoding of _single_window_kernel; returns (layout, spill).
+
+    Scatter-free: after the bucket sort, each layout cell (slot, bucket)
+    GATHERS enc_sorted[start_b + slot] — XLA:TPU lowers gathers to fast
+    dynamic-slice loops while big scatters serialize."""
+    n = b_flat.shape[0]
     order = jnp.argsort(b_flat, stable=True).astype(jnp.int32)
     b_sorted = b_flat[order]
     enc_sorted = enc_flat[order]
-    keep = b_sorted != 0
-    counts = jnp.bincount(b_sorted, length=nb)
-    starts = jnp.concatenate(
-        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+    starts = jnp.searchsorted(
+        b_sorted, jnp.arange(nb, dtype=b_sorted.dtype), side="left"
     ).astype(jnp.int32)
-    col = jnp.arange(b_sorted.shape[0], dtype=jnp.int32) - starts[b_sorted]
-    valid = keep & (col < cap)
-    spill = jnp.sum(keep & ~valid, dtype=jnp.uint32)
-    pos = jnp.where(valid, col * nb + b_sorted, nb * cap)
-    layout = jnp.zeros(cap * nb, jnp.int32).at[pos].set(enc_sorted, mode="drop")
-    return layout, spill
+    ends = jnp.concatenate([starts[1:], jnp.full((1,), n, jnp.int32)])
+    counts = ends - starts  # [nb]
+    col = jnp.arange(cap, dtype=jnp.int32)[:, None]  # [cap, 1]
+    have = (col < counts[None, :]) & (jnp.arange(nb, dtype=jnp.int32)[None, :] != 0)
+    idx = jnp.clip(starts[None, :] + col, 0, n - 1)
+    layout = jnp.where(have, enc_sorted[idx], 0)  # [cap, nb]
+    spill = jnp.sum(
+        jnp.maximum(counts[1:] - cap, 0), dtype=jnp.uint32
+    )
+    return layout.reshape(-1), spill
 
 
 def _signed_layout_device(
