@@ -82,13 +82,19 @@ def divide_by_vanishing(p: jnp.ndarray, domain_size: int):
         return jnp.zeros((1, fr.L), jnp.uint32), pad_to(p, n)[:n]
     nb = -(-lp // n)
     blocks = pad_to(p, nb * n).reshape(nb, n, fr.L)
-    # suffix[i] = Σ_{j >= i} B_j, built top-down (nb is small: deg/|D| <= 4)
-    suffix = [None] * nb
-    suffix[nb - 1] = blocks[nb - 1]
-    for i in range(nb - 2, -1, -1):
-        suffix[i] = fr.add(blocks[i], suffix[i + 1])
+    # suffix[i] = Σ_{j >= i} B_j via log-depth doubling: nb can be large
+    # when the divisor domain is small (w / v_X has nb = |H|/|X| blocks),
+    # and a sequential block loop costs nb eager dispatches on the tunnel
+    suffix = blocks
+    s = 1
+    while s < nb:
+        shifted = jnp.concatenate(
+            [suffix[s:], jnp.zeros((s,) + suffix.shape[1:], suffix.dtype)], axis=0
+        )
+        suffix = fr.add(suffix, shifted)
+        s *= 2
     remainder = suffix[0][:n]
-    quotient = jnp.concatenate([suffix[i + 1] for i in range(nb - 1)], axis=0)[: lp - n]
+    quotient = suffix[1:].reshape((nb - 1) * n, fr.L)[: lp - n]
     return quotient, remainder
 
 

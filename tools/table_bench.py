@@ -68,30 +68,30 @@ def main():
         offs = tuple(int(o) for o, _ in jobset)
         return scal_cat, szs, offs, cap
 
-    @jax.jit
-    def layouts_only(scal_cat, sizes, offsets, cap):
-        scal16 = bi.from_mont(fr.CTX, scal_cat)
-        n_base = table.points[0].shape[0] // W
-        nb_top, cap_top = msm._top_fold_shape(max(sizes), c, W)
-        outs = []
-        pos = 0
-        spill = jnp.zeros((), jnp.uint32)
-        for n_j, off in zip(sizes, offsets):
-            lay, tlay, s = msm._signed_layout_device(
-                scal16[pos : pos + n_j], c, W, nb, cap, n_base, off, nb_top, cap_top
-            )
-            outs.append(lay)
-            outs.append(tlay)
-            spill += s
-            pos += n_j
-        return outs, spill
+    def make_layouts_only(sizes, offsets, cap, nb_top, cap_top):
+        @jax.jit
+        def layouts_only(scal_cat):
+            scal16 = bi.from_mont(fr.CTX, scal_cat)
+            n_base = table.points[0].shape[0] // W
+            outs = []
+            pos = 0
+            spill = jnp.zeros((), jnp.uint32)
+            for n_j, off in zip(sizes, offsets):
+                lay, tlay, s = msm._signed_layout_device(
+                    scal16[pos : pos + n_j], c, W, nb, cap, n_base, off, nb_top, cap_top
+                )
+                outs.append(lay)
+                outs.append(tlay)
+                spill += s
+                pos += n_j
+            return outs, spill
 
-    from functools import partial
+        return layouts_only
 
     for label, jobset in (("3x n-poly", jobs), ("mask 3n", mask_jobs)):
         scal_cat, szs, offs, cap = group_args(jobset)
         nb_top, cap_top = msm._top_fold_shape(max(szs), c, W)
-        lay_fn = partial(layouts_only, sizes=szs, offsets=offs, cap=cap)
+        lay_fn = make_layouts_only(szs, offs, cap, nb_top, cap_top)
 
         # (a) layout only
         outs, spill = lay_fn(scal_cat)
@@ -112,7 +112,6 @@ def main():
             jnp.stack(outs[1::2]).reshape(len(szs), cap_top, nb_top).swapaxes(0, 1).reshape(-1)
         )
         fetch(big[:1]); fetch(big_top[:1])
-        fold = jax.jit(partial(msm._single_window_kernel, n_jobs=len(szs), nb=nb, cap=int(cap)))
         t, _ = msm._single_window_kernel(table.points, big, len(szs), nb, int(cap))
         fetch(t[0])
         ts = []
