@@ -147,12 +147,14 @@ def sqrt_mod(a, q, nonres=None):
     c = pow(z, m, q)
     t = pow(a, m, q)
     r_ = pow(a, (m + 1) // 2, q)
+    big_m = s
     while t != 1:
         i, tt = 0, t
         while tt != 1:
             tt = tt * tt % q
             i += 1
-        b = pow(c, 1 << (s - i - 1), q)
+        b = pow(c, 1 << (big_m - i - 1), q)
+        big_m = i
         r_ = r_ * b % q
         c = b * b % q
         t = t * c % q
@@ -198,12 +200,14 @@ class Fq2:
         c = self.pow(nonres, m)
         t = self.pow(a, m)
         r_ = self.pow(a, (m + 1) // 2)
+        big_m = s
         while t != (1, 0):
             i, tt = 0, t
             while tt != (1, 0):
                 tt = self.mul(tt, tt)
                 i += 1
-            b = self.pow(c, 1 << (s - i - 1))
+            b = self.pow(c, 1 << (big_m - i - 1))
+            big_m = i
             r_ = self.mul(r_, b)
             c = self.mul(b, b)
             t = self.mul(t, c)
@@ -273,7 +277,17 @@ def ec2_mul(k, P, F):
 
 
 def main():
-    x, r, q, tried = search()
+    import os
+
+    known = os.environ.get("SYNTH_X")
+    if known:
+        x = int(known, 0)
+        r = x**4 - x**2 + 1
+        q = (x - 1) ** 2 * r // 3 + x
+        assert is_prime(r) and is_prime(q)
+        tried = 0
+    else:
+        x, r, q, tried = search()
     print(f"x = {hex(x)}  (tried {tried} candidates)")
     print(f"r bits = {r.bit_length()}, q bits = {q.bit_length()}")
     print(f"v2(r-1) = {v(2, r - 1)}, v3(r-1) = {v(3, r - 1)}, q mod 4 = {q % 4}")
@@ -375,23 +389,20 @@ def main():
         P2 = twist_point(bt)
         if P2 is None:
             continue
-        # correct twist satisfies r | #E'; #E' = q^2 + 1 - tw_t where for
-        # the sextic twists tw_t = (3f +- t)/2 with f^2 D = t^2 - 4q...
-        # skip the closed form: annihilate by (n2_cand) for both possible
-        # orders n_a, n_b with n_a + n_b = 2(q^2+1) - (t^2 - 2q) - ...
-        # Practical test: h = n_cand // r for n_cand in the two sextic
-        # orders; instead check r-torsion directly: [#E'] P = O for
-        # #E' = q^2 + 1 - tw with tw solved from the subgroup check:
-        # try cof2 = n_cand // r where n_cand ranges over the two orders
-        # q^2 + 1 - (3f - t)/2 and q^2 + 1 + (3f + t)/2 ... we derive f:
-        fsq, Dd = t_ * t_ - 4 * q, None
-        # t^2 - 4q = -3 f^2 for BLS12 (CM discriminant -3)
-        assert fsq % -3 == 0 or (-fsq) % 3 == 0
+        # correct twist satisfies r | #E'.  Sextic twists of E/Fq2: with
+        # T = t^2 - 2q (trace of E over Fq2) and F2 = t*f where
+        # t^2 - 4q = -3 f^2 (CM discriminant -3, BLS family), the two
+        # degree-6 twist traces are (±T ± 3*F2)/2 — test all sign
+        # choices by r-divisibility + point annihilation.
+        fsq = t_ * t_ - 4 * q
         ff = math.isqrt((-fsq) // 3)
         assert -3 * ff * ff == fsq, "CM equation failed"
-        for tw in ((t_ - 3 * ff) // 2, (t_ + 3 * ff) // 2):
+        T2 = t_ * t_ - 2 * q
+        F2 = t_ * ff
+        tws = {(sT * T2 + s3 * 3 * F2) // 2 for sT in (1, -1) for s3 in (1, -1)}
+        for tw in sorted(tws):
             n_cand = q * q + 1 - tw
-            if n_cand % r:
+            if n_cand <= 0 or n_cand % r:
                 continue
             if ec2_mul(n_cand, P2, F) is None:
                 cof2 = n_cand // r
