@@ -66,15 +66,17 @@ def _hillis_scan_add(pts: cd.Point, reverse: bool) -> cd.Point:
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _windows_kernel(
-    points: cd.Point, layout: jnp.ndarray, n_win: int, c: int, cap: int, exact: bool = False
+    points: cd.Point, layout: jnp.ndarray, n_win: int, nb: int, cap: int, exact: bool = False
 ):
     """All Pippenger windows at once: ([n_win] partial sums T_w = Σ_b b*S_b,
     doubling-degenerate count — see bucket_fold).
 
-    layout: [cap * n_win * 2^c] int32 in slot-major order (slot j of
+    layout: [cap * n_win * nb] int32 in slot-major order (slot j of
     window w's bucket b at j*(n_win*nb) + w*nb + b) — index into `points`,
-    or -1 for an empty slot (filled with the identity).  Batching every
-    window into one kernel keeps the VPU lanes full.
+    or -1 for an empty slot (filled with the identity).  nb need not be a
+    power of two (the narrow top-window folds pass the modulus-derived
+    bucket count).  Batching every window into one kernel keeps the VPU
+    lanes full.
 
     On TPU the cap-step fold runs as ONE Pallas kernel with the
     accumulator resident in VMEM (pallas/curve.bucket_fold); elsewhere a
@@ -83,7 +85,6 @@ def _windows_kernel(
     from .pallas import curve as pcurve
     from .pallas import routing as _routing
 
-    nb = 1 << c
     filled = layout >= 0
     src = jnp.clip(layout, 0, points[0].shape[0] - 1)
     g = cd.gather(points, src)
@@ -275,7 +276,7 @@ def msm_pippenger(
                 .ravel()
             )
             batched, flag = _windows_kernel(
-                points, jnp.asarray(big_layout), len(chunk), c, int(cap), exact
+                points, jnp.asarray(big_layout), len(chunk), nb, int(cap), exact
             )
             if not exact:
                 _FOLD_FLAGS.append(flag)
@@ -345,6 +346,23 @@ def _digits_all_device(scal16: jnp.ndarray, c: int, num_windows: int) -> jnp.nda
     )
 
 
+def _classic_top_shape(n: int, c: int, num_windows: int) -> tuple:
+    """(nb_top, cap_top) for the UNSIGNED top window of the classic
+    Pippenger paths: bucket count from the modulus's high bits, capacity
+    from the binomial load model.  The top window only spans
+    FR_BITS - c*(W-1) bits, so its digits concentrate in a small bucket
+    prefix — with the shared uniform cap that forced a 4x mean-load
+    capacity on EVERY window (half the dispatched fold work wasted)."""
+    s = c * (num_windows - 1)
+    hi = (P.R_MODULUS - 1) >> s
+    p_max = max(
+        min(P.R_MODULUS, (b + 1) << s) - (b << s) for b in range(hi + 1)
+    ) / P.R_MODULUS
+    lam = max(1.0, n * p_max)
+    cap_top = int(np.ceil((lam + 6 * np.sqrt(lam) + 8) / 8.0)) * 8
+    return hi + 1, cap_top
+
+
 def pippenger_device_window_block(
     points: cd.Point, scal16: jnp.ndarray, c: int, wpd: int, w0: jnp.ndarray
 ):
@@ -355,12 +373,16 @@ def pippenger_device_window_block(
     when n/D is small; VERDICT r3 weak #5).
 
     Returns ([wpd] stacked window sums, spill count).  Window indices
-    beyond the real window count contribute identity (zero digits).
+    beyond the real window count contribute identity (zero digits).  The
+    top window folds separately with its own narrow bucket space (see
+    _classic_top_shape); every device runs the (tiny) top fold so the
+    SPMD program is uniform, but only the owner's digits are nonzero.
     """
     n = points[0].shape[0]
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
-    cap = 1 << max(3, (4 * max(1, n // nb) - 1).bit_length())
+    cap = 1 << max(3, (2 * max(1, n // nb) - 1).bit_length())
+    nb_top, cap_top = _classic_top_shape(n, c, num_windows)
 
     dig_all = _digits_all_device(scal16, c, num_windows)  # [n, W]
     layouts = []
@@ -368,7 +390,7 @@ def pippenger_device_window_block(
     for j in range(wpd):
         w = w0 + j
         col = jnp.minimum(w, num_windows - 1)
-        d = jnp.where(w < num_windows, dig_all[:, col], 0)
+        d = jnp.where((w < num_windows) & (w != num_windows - 1), dig_all[:, col], 0)
         layout, s = _window_layout_device(d, nb, cap)
         layouts.append(layout)
         spill = spill + s
@@ -381,10 +403,22 @@ def pippenger_device_window_block(
         big = (
             jnp.stack(chunk).reshape(len(chunk), cap, nb).swapaxes(0, 1).reshape(-1)
         )
-        batched, flag = _windows_kernel(points, big, len(chunk), c, int(cap))
+        batched, flag = _windows_kernel(points, big, len(chunk), nb, int(cap))
         spill = spill + flag.astype(jnp.int32)
         for j in range(len(chunk)):
             windows[start + j] = tuple(b[j : j + 1] for b in batched)
+
+    # top window: narrow fold, selected into the owning device's slot
+    owns = (w0 <= num_windows - 1) & (num_windows - 1 < w0 + wpd)
+    d_top = jnp.where(owns, dig_all[:, num_windows - 1], 0)
+    top_layout, ts = _window_layout_device(d_top, nb_top, cap_top)
+    top_tot, tflag = _windows_kernel(points, top_layout, 1, nb_top, int(cap_top))
+    spill = spill + ts + tflag.astype(jnp.int32)
+    top_pt = tuple(b[0:1] for b in top_tot)
+    for j in range(wpd):
+        is_top = jnp.broadcast_to(w0 + j == num_windows - 1, (1,))
+        windows[j] = cd.select_point(is_top, top_pt, windows[j])
+
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
     return stacked, spill
 
@@ -394,17 +428,20 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
     layout pass).  scal16: canonical (non-Montgomery) [n, 16] limbs.
 
     Returns (total [1] Jacobian point, spill count).  `cap` is sized at
-    ~4x the mean bucket load, so spill > 0 has cosmically small
-    probability for FS-derived scalars; callers check it and rerun the
-    exact host-layout path on spill (parallel/msm_sharded.py does)."""
+    ~2x the mean bucket load (the concentrated top window folds apart
+    with its own narrow bucket space — _classic_top_shape), so spill > 0
+    has cosmically small probability for FS-derived scalars; callers
+    check it and rerun the exact host-layout path on spill
+    (parallel/msm_sharded.py does)."""
     n = points[0].shape[0]
     num_windows = -(-FR_BITS // c)
     nb = 1 << c
-    cap = 1 << max(3, (4 * max(1, n // nb) - 1).bit_length())
+    cap = 1 << max(3, (2 * max(1, n // nb) - 1).bit_length())
+    nb_top, cap_top = _classic_top_shape(n, c, num_windows)
 
     layouts = []
     spill = jnp.zeros((), jnp.int32)
-    for w in range(num_windows):
+    for w in range(num_windows - 1):
         d = _digits_device(scal16, c, w)
         layout, s = _window_layout_device(d, nb, cap)
         layouts.append(layout)
@@ -412,8 +449,8 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
 
     windows = [None] * num_windows
     max_slots = 1 << 21
-    group = max(1, min(num_windows, max_slots // (nb * cap)))
-    for start in range(0, num_windows, group):
+    group = max(1, min(num_windows - 1, max_slots // (nb * cap)))
+    for start in range(0, num_windows - 1, group):
         chunk = layouts[start : start + group]
         big = (
             jnp.stack(chunk)
@@ -421,10 +458,17 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
             .swapaxes(0, 1)
             .reshape(-1)
         )
-        batched, flag = _windows_kernel(points, big, len(chunk), c, int(cap))
+        batched, flag = _windows_kernel(points, big, len(chunk), nb, int(cap))
         spill = spill + flag.astype(jnp.int32)
         for j in range(len(chunk)):
             windows[start + j] = tuple(b[j : j + 1] for b in batched)
+
+    d_top = _digits_device(scal16, c, num_windows - 1)
+    top_layout, ts = _window_layout_device(d_top, nb_top, cap_top)
+    top_tot, tflag = _windows_kernel(points, top_layout, 1, nb_top, int(cap_top))
+    spill = spill + ts + tflag.astype(jnp.int32)
+    windows[num_windows - 1] = tuple(b[0:1] for b in top_tot)
+
     stacked = tuple(jnp.stack([w[i] for w in windows]) for i in range(3))
     return _combine_windows(stacked, c), spill
 

@@ -113,10 +113,14 @@ def main():
     from marlin_tpu.utils.rand import ZkRng
 
     ntt_sizes = [
-        int(s) for s in os.environ.get("MARLIN_SWEEP_NTT_LOG2NS", "16,18").split(",")
+        int(s)
+        for s in os.environ.get("MARLIN_SWEEP_NTT_LOG2NS", "16,18").split(",")
+        if s
     ]
     msm_sizes = [
-        int(s) for s in os.environ.get("MARLIN_SWEEP_MSM_LOG2NS", "14,16").split(",")
+        int(s)
+        for s in os.environ.get("MARLIN_SWEEP_MSM_LOG2NS", "14,16").split(",")
+        if s
     ]
     devices = np.array(jax.devices())
     rng = ZkRng(7)
