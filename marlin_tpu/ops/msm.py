@@ -329,21 +329,20 @@ def _window_layout_device(d: jnp.ndarray, nb: int, cap: int):
     return layout, spill
 
 
-def _digits_all_device(scal16: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
-    """[n, W] radix-2^c digits for every window at once (vectorized over
-    the window axis, so a traced window index can select columns — the
-    window-sharded MSM needs per-device window ranges that are only known
-    from axis_index at run time)."""
-    n = scal16.shape[0]
-    bits = (
-        (scal16[:, :, None] >> jnp.arange(16, dtype=jnp.uint32)[None, None, :]) & 1
-    ).reshape(n, 256)
-    idx = jnp.arange(num_windows)[:, None] * c + jnp.arange(c)[None, :]  # [W, c]
-    valid = idx < 256
-    gathered = bits[:, jnp.minimum(idx, 255)] * valid[None].astype(jnp.uint32)
-    return (gathered << jnp.arange(c, dtype=jnp.uint32)[None, None, :]).sum(
-        axis=-1, dtype=jnp.uint32
-    )
+def _digits_device_traced(scal16: jnp.ndarray, c: int, w: jnp.ndarray) -> jnp.ndarray:
+    """Window-w digits with a TRACED window index (dynamic-slice limb
+    gathers, O(n) per call — the former [n, 256] bit expansion, being
+    replicated on every device, dominated the window-sharded MSM's cost
+    model)."""
+    L = scal16.shape[1]
+    off = w * c
+    l = off // 16
+    o = (off % 16).astype(jnp.uint32)
+    lo = jnp.take(scal16, jnp.minimum(l, L - 1), axis=1).astype(jnp.uint32)
+    hi_idx = jnp.minimum(l + 1, L - 1)
+    hi = jnp.where(l + 1 < L, jnp.take(scal16, hi_idx, axis=1), 0).astype(jnp.uint32)
+    word = lo | (hi << jnp.uint32(16))
+    return (word >> o) & jnp.uint32((1 << c) - 1)
 
 
 def _classic_top_shape(n: int, c: int, num_windows: int) -> tuple:
@@ -384,13 +383,16 @@ def pippenger_device_window_block(
     cap = 1 << max(3, (2 * max(1, n // nb) - 1).bit_length())
     nb_top, cap_top = _classic_top_shape(n, c, num_windows)
 
-    dig_all = _digits_all_device(scal16, c, num_windows)  # [n, W]
     layouts = []
     spill = jnp.zeros((), jnp.int32)
     for j in range(wpd):
         w = w0 + j
         col = jnp.minimum(w, num_windows - 1)
-        d = jnp.where((w < num_windows) & (w != num_windows - 1), dig_all[:, col], 0)
+        d = jnp.where(
+            (w < num_windows) & (w != num_windows - 1),
+            _digits_device_traced(scal16, c, col),
+            0,
+        )
         layout, s = _window_layout_device(d, nb, cap)
         layouts.append(layout)
         spill = spill + s
@@ -410,7 +412,9 @@ def pippenger_device_window_block(
 
     # top window: narrow fold, selected into the owning device's slot
     owns = (w0 <= num_windows - 1) & (num_windows - 1 < w0 + wpd)
-    d_top = jnp.where(owns, dig_all[:, num_windows - 1], 0)
+    d_top = jnp.where(
+        owns, _digits_device_traced(scal16, c, jnp.asarray(num_windows - 1)), 0
+    )
     top_layout, ts = _window_layout_device(d_top, nb_top, cap_top)
     top_tot, tflag = _windows_kernel(points, top_layout, 1, nb_top, int(cap_top))
     spill = spill + ts + tflag.astype(jnp.int32)
