@@ -42,16 +42,22 @@ def _local_pippenger(px, py, pz, scal, axis, c: int):
     return total + (jax.lax.psum(spill, axis),)
 
 
-def _local_window_block(px, py, pz, scal, axis, c: int, wpd: int):
+def _local_window_block(px, py, pz, scal_shard, n: int, axis, c: int, wpd: int):
     """Window-sharded body: this device owns windows [idx*wpd, (idx+1)*wpd)
     over the FULL point set (points arrive replicated).  Per-window bucket
     statistics match the single-chip kernel regardless of D, fixing the
     small-n/D efficiency collapse of point sharding (per-shard windows
     shrink as n/D drops).  The cross-device combine is an all_gather of
-    D*wpd window sums (tiny) + the standard Horner combine."""
+    D*wpd window sums (tiny) + the standard Horner combine.
+
+    Scalars arrive SHARDED: the Montgomery->canonical conversion is ~9%
+    of the whole MSM's flops, so running it replicated capped scaling
+    efficiency — each device converts its n/D slice and the canonical
+    limbs (n*64B, tiny) are all_gathered."""
     from .multihost import axis_flat_index
 
-    canonical = bi.from_mont(fr.CTX, scal)
+    canon_local = bi.from_mont(fr.CTX, scal_shard)
+    canonical = jax.lax.all_gather(canon_local, axis, axis=0, tiled=True)[:n]
     w0 = axis_flat_index(axis) * wpd
     stacked, spill = msm_mod.pippenger_device_window_block(
         (px, py, pz), canonical, c, wpd, w0
@@ -108,14 +114,20 @@ def msm_sharded_core(
         c = min(13, max(6, n.bit_length() - 6))
         num_windows = -(-FR_BITS // c)
         wpd = -(-num_windows // d)
+        pad = -n % d
+        scal_p = (
+            jnp.pad(scalars_mont, ((0, pad), (0, 0))) if pad else scalars_mont
+        )
         shard = jax.shard_map(
-            lambda px, py, pz, s: _local_window_block(px, py, pz, s, axis, c, wpd),
+            lambda px, py, pz, s: _local_window_block(
+                px, py, pz, s, n, axis, c, wpd
+            ),
             mesh=mesh,
             check_vma=False,
-            in_specs=(PS(None, None),) * 4,
+            in_specs=(PS(None, None),) * 3 + (PS(axis, None),),
             out_specs=(PS(None, None),) * 3 + (PS(),),
         )
-        x, y, z, spill = shard(points[0], points[1], points[2], scalars_mont)
+        x, y, z, spill = shard(points[0], points[1], points[2], scal_p)
         return (x, y, z), spill
 
     c = min(13, max(6, n_local.bit_length() - 6))
