@@ -64,6 +64,47 @@ def _plan(n: int, inverse: bool, root: int | None = None):
 
 
 @functools.lru_cache(maxsize=None)
+def _plan_planes(n: int, inverse: bool, root: int | None = None):
+    """Per-stage FULL twiddle planes for the fused Pallas kernel
+    (pallas/ntt.py): TW_s[i] = mont(w_{2m}^{i mod m}) tiled to the kernel
+    block length B — the plane is m-periodic, so one [B, L] block serves
+    every grid block of every transform in a batch."""
+    from .pallas import ntt as pntt
+
+    b = pntt.block_size(n)
+    log_b = b.bit_length() - 1
+    if root is None:
+        from ..snark.domains import Radix2Domain
+
+        dom = Radix2Domain(n)
+        g = dom.group_gen_inv if inverse else dom.group_gen
+    else:
+        g = root
+    planes = []
+    for s in range(log_b):
+        m = 1 << s
+        w = pow(g, n // (2 * m), R)
+        tw = [1] * m
+        for j in range(1, m):
+            tw[j] = tw[j - 1] * w % R
+        mont = [t * P.FR_MONT_R % R for t in tw]
+        planes.append(ints_to_limbs(mont * (b // m), fr.L))
+    return tuple(planes)
+
+
+def _use_fused(n: int) -> bool:
+    import os
+
+    from .pallas import routing as _routing
+
+    return (
+        _routing.use_pallas()
+        and n >= 1024
+        and os.environ.get("MARLIN_TPU_FUSE_NTT", "1") == "1"
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _mixed_plan(n: int, inverse: bool):
     """Host precompute for the Cooley-Tukey n = n1 * n2 decomposition
     (n1 = base^s small-DFT part, n2 = 2^k butterfly part):
@@ -91,10 +132,16 @@ def _mixed_plan(n: int, inverse: bool):
     return n1, n2, rev, stages, W, M
 
 
-def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, stages) -> jnp.ndarray:
+def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, stages, planes=None) -> jnp.ndarray:
     n = x.shape[0]
     x = x[rev]
-    for tw in stages:
+    skip = 0
+    if planes:
+        from .pallas import ntt as pntt
+
+        x = pntt.fused_stages(x, [jnp.asarray(p) for p in planes], fr.CTX)
+        skip = len(planes)
+    for tw in stages[skip:]:
         m = tw.shape[0]
         x = x.reshape(n // (2 * m), 2, m, fr.L)
         e, o = x[:, 0], x[:, 1]
@@ -107,24 +154,36 @@ def _ntt_core(x: jnp.ndarray, rev: jnp.ndarray, stages) -> jnp.ndarray:
 def _ntt_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[0]
     rev, stages = _plan(n, inverse)
-    out = _ntt_core(x, jnp.asarray(rev), [jnp.asarray(s) for s in stages])
+    planes = _plan_planes(n, inverse) if _use_fused(n) else None
+    out = _ntt_core(x, jnp.asarray(rev), [jnp.asarray(s) for s in stages], planes)
     if inverse:
         n_inv = fr.from_int(pow(n, -1, R))
         out = fr.mul(out, n_inv[None, :])
     return out
 
 
-def _ntt_mixed_core(x, rev, stages, W, M, n1: int, n2: int) -> jnp.ndarray:
+def _ntt_mixed_core(x, rev, stages, W, M, n1: int, n2: int, planes=None) -> jnp.ndarray:
     """Cooley-Tukey: input split j = j1 + n1*j2, output k = k1*n2 + k2.
 
-    Inner: n1 batched radix-2 NTTs of size n2 (root ω^{n1}); twiddle by
-    W[j1, k2]; outer: direct small DFT over j1 (n1 = base^s <= 9, so the
-    matrix product is a handful of batched field mul-adds — VPU-friendly,
-    no scalar loops)."""
+    Inner: n1 batched radix-2 NTTs of size n2 (root ω^{n1}) — through the
+    fused Pallas stage kernel when available (each kernel block lies
+    inside one transform, and the m-periodic twiddle planes are shared by
+    every transform in the batch); twiddle by W[j1, k2]; outer: direct
+    small DFT over j1 (n1 = base^s <= 9, so the matrix product is a
+    handful of batched field mul-adds — VPU-friendly, no scalar loops)."""
     n = n1 * n2
     x = x.reshape(n2, n1, fr.L).swapaxes(0, 1)  # [n1, n2, L]: [j1, j2]
     x = x[:, rev, :]
-    for tw in stages:
+    skip = 0
+    if planes:
+        from .pallas import ntt as pntt
+
+        flat = pntt.fused_stages(
+            x.reshape(n1 * n2, fr.L), [jnp.asarray(p) for p in planes], fr.CTX
+        )
+        x = flat.reshape(n1, n2, fr.L)
+        skip = len(planes)
+    for tw in stages[skip:]:
         m = tw.shape[0]
         x = x.reshape(n1, n2 // (2 * m), 2, m, fr.L)
         e, o = x[:, :, 0], x[:, :, 1]
@@ -142,6 +201,12 @@ def _ntt_mixed_core(x, rev, stages, W, M, n1: int, n2: int) -> jnp.ndarray:
 def _ntt_mixed_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     n = x.shape[0]
     n1, n2, rev, stages, W, M = _mixed_plan(n, inverse)
+    planes = None
+    if _use_fused(n2):
+        from ..snark.domains import MixedRadixDomain
+
+        w = MixedRadixDomain(n).group_gen_inv if inverse else MixedRadixDomain(n).group_gen
+        planes = _plan_planes(n2, inverse, root=pow(w, n1, R))
     out = _ntt_mixed_core(
         x,
         jnp.asarray(rev),
@@ -150,6 +215,7 @@ def _ntt_mixed_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         jnp.asarray(M),
         n1,
         n2,
+        planes,
     )
     if inverse:
         n_inv = fr.from_int(pow(n, -1, R))

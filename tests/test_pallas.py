@@ -125,3 +125,53 @@ def test_pallas_combine_windows_matches_xla():
     got = cd.to_affine_ints(pcurve.combine_windows(stacked, c, interpret=True))[0]
     want_scalar = sum(s * (1 << (c * w)) for w, s in enumerate(ints))
     assert got == hc.g1_mul(hc.G1_GEN, want_scalar % R)
+
+
+def test_pallas_fused_ntt_stages_match_xla(monkeypatch):
+    """Fused in-block butterfly stages (pallas/ntt.py) vs the XLA stage
+    loop — full transform with a forced small block so cross-block tail
+    stages are exercised, plus the all-fused and inverse cases."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from marlin_tpu.ops import ntt as ntt_mod
+    from marlin_tpu.ops.pallas import ntt as pntt
+
+    rng = random.Random(23)
+
+    def run(n, inverse, block_log2):
+        monkeypatch.setenv("MARLIN_TPU_NTT_BLOCK_LOG2", str(block_log2))
+        ntt_mod._plan_planes.cache_clear()
+        xs = [rng.randrange(R) for _ in range(n)]
+        x = fr.from_ints(xs)
+        rev, stages = ntt_mod._plan(n, inverse)
+        planes = ntt_mod._plan_planes(n, inverse)
+        got = ntt_mod._ntt_core(
+            x,
+            jnp.asarray(rev),
+            [jnp.asarray(s) for s in stages],
+            None,
+        )
+        # fused path (interpret mode), same tail stages as production
+        import marlin_tpu.ops.pallas.field as pf
+
+        fused = pntt.fused_stages(
+            jnp.asarray(x)[jnp.asarray(rev)],
+            [jnp.asarray(p) for p in planes],
+            fr.CTX,
+            interpret=True,
+        )
+        skip = len(planes)
+        y = fused
+        for tw in [jnp.asarray(s) for s in stages][skip:]:
+            m = tw.shape[0]
+            y = y.reshape(n // (2 * m), 2, m, fr.L)
+            e, o = y[:, 0], y[:, 1]
+            t = fr.mul(o, tw[None, :, :])
+            y = jnp.stack([fr.add(e, t), fr.sub(e, t)], axis=1)
+        y = y.reshape(n, fr.L)
+        assert np.array_equal(np.asarray(y), np.asarray(got)), (n, inverse, block_log2)
+
+    run(2048, False, 11)  # all stages fused (block == n)
+    run(2048, False, 10)  # one cross-block tail stage
+    run(2048, True, 10)  # inverse twiddles through the same kernel
