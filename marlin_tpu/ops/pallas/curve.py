@@ -31,6 +31,14 @@ _RT = 8
 _TILE = LANE * _RT
 
 
+def _fold_rt() -> int:
+    """Rows per fold grid step (more rows = more parallel accumulator
+    rows and fewer sequential steps; A/B knob for the dominant kernel)."""
+    import os
+
+    return int(os.environ.get("MARLIN_TPU_FOLD_RT", "8"))
+
+
 def _jac_double_planes(X, Y, Z, n_tuple, np0):
     mul = lambda a, b: core.mm_mul(a, b, n_tuple, np0)
     add = lambda a, b: core.mm_add(a, b, n_tuple)
@@ -302,7 +310,7 @@ def _jac_madd_planes_fast(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
     return X3, Y3, Z3, needs_double
 
 
-def _fold_kernel(x, y, z, ox, oy, oz, oflag, *, n_tuple, np0, nsteps, exact):
+def _fold_kernel(x, y, z, ox, oy, oz, oflag, *, n_tuple, np0, nsteps, exact, rt=_RT):
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
@@ -327,9 +335,14 @@ def _fold_kernel(x, y, z, ox, oy, oz, oflag, *, n_tuple, np0, nsteps, exact):
 
     @pl.when(j == nsteps - 1)
     def _reduce_rows():
-        # collapse the 8 sublane rows into row 0 (3 roll-halving adds)
+        # collapse the rt sublane rows into row 0 (log2(rt) roll-halving adds)
         X3, Y3, Z3 = ox[:], oy[:], oz[:]
-        for s in (4, 2, 1):
+        s = rt // 2
+        shifts = []
+        while s >= 1:
+            shifts.append(s)
+            s //= 2
+        for s in shifts:
             X3, Y3, Z3 = _jac_add_planes(
                 X3,
                 Y3,
@@ -349,20 +362,23 @@ def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
 
     n_tuple, np0 = _fq_consts()
     L = len(n_tuple)
-    assert cap % _RT == 0 and lanes % LANE == 0
-    nsteps = cap // _RT
-    in_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, j, i))
-    out_spec = pl.BlockSpec((L, _RT, LANE), lambda i, j: (0, 0, i))
-    flag_spec = pl.BlockSpec((_RT, LANE), lambda i, j: (0, i))
+    rt = _fold_rt()
+    if cap % rt:
+        rt = _RT
+    assert cap % rt == 0 and lanes % LANE == 0
+    nsteps = cap // rt
+    in_spec = pl.BlockSpec((L, rt, LANE), lambda i, j: (0, j, i))
+    out_spec = pl.BlockSpec((L, rt, LANE), lambda i, j: (0, 0, i))
+    flag_spec = pl.BlockSpec((rt, LANE), lambda i, j: (0, i))
     kernel = functools.partial(
-        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps, exact=exact
+        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps, exact=exact, rt=rt
     )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(
-            jax.ShapeDtypeStruct((L, _RT, lanes), jnp.uint32) for _ in range(3)
+            jax.ShapeDtypeStruct((L, rt, lanes), jnp.uint32) for _ in range(3)
         )
-        + (jax.ShapeDtypeStruct((_RT, lanes), jnp.uint32),),
+        + (jax.ShapeDtypeStruct((rt, lanes), jnp.uint32),),
         grid=(lanes // LANE, nsteps),
         in_specs=[in_spec] * 3,
         out_specs=(out_spec,) * 3 + (flag_spec,),
