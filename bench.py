@@ -14,12 +14,21 @@ never silently substitutes a warmer size.  The backend may fall back to
 XLA:CPU when the TPU pool is down (the JSON line names the backend
 measured); everything else is pinned.
 
-SECONDARY CAPTURES (same JSON line, extra keys; VERDICT r4 task 3): the
+UN-DROPPABLE EMISSION (VERDICT r5 task 1): the headline JSON line is
+printed and FLUSHED immediately after the headline capture — before any
+secondary runs — so a driver timeout during a secondary can never destroy
+the record.  If secondaries complete, a second, extended JSON line (a
+strict superset of the first) is printed; consumers taking the last JSON
+line get the extended record, consumers that killed the process mid-
+secondary still find the headline line.
+
+SECONDARY CAPTURES (extended line, extra keys; VERDICT r4 task 3): the
 reference's exact bench point — 2^16 constraints with the SonicKZG10
 variant (benches/bench.rs:13,22) — plus MarlinKZG10 at 2^16, captured
 after the headline when the wall budget allows.  Disable with
-MARLIN_BENCH_SECONDARY=0; budget via MARLIN_BENCH_BUDGET_S (default 2400:
-secondaries are skipped once elapsed wall passes it).
+MARLIN_BENCH_SECONDARY=0; budget via MARLIN_BENCH_BUDGET_S (default 600,
+under the driver's observed ~900 s kill ceiling: secondaries are skipped
+once elapsed wall passes it).
 
 Env knobs (extras, not the contract): MARLIN_BENCH_CONSTRAINTS overrides
 the headline size for ad-hoc runs, MARLIN_BENCH_REPS the rep count,
@@ -159,7 +168,7 @@ def _run_config(M, num_constraints, reps, pc_name, progress, verify_reps):
 def main():
     num_constraints = int(os.environ.get("MARLIN_BENCH_CONSTRAINTS", 1 << HEADLINE_LOG2))
     reps = int(os.environ.get("MARLIN_BENCH_REPS", 1))
-    budget_s = float(os.environ.get("MARLIN_BENCH_BUDGET_S", "2400"))
+    budget_s = float(os.environ.get("MARLIN_BENCH_BUDGET_S", "600"))
 
     backend = _probe_backend()
     if backend == "cpu":
@@ -218,10 +227,16 @@ def main():
         "proof_bytes": head["proof_bytes"],
     }
 
+    # UN-DROPPABLE: the headline record is on stdout before any secondary
+    # can burn budget (VERDICT r4 weak #1 — the r4 capture died mid-Sonic
+    # with the whole record unprinted).
+    print(json.dumps(record), flush=True)
+
     secondary_on = (
         os.environ.get("MARLIN_BENCH_SECONDARY", "1") == "1"
         and num_constraints == (1 << HEADLINE_LOG2)
     )
+    extended = False
     if secondary_on and time.perf_counter() - t0 < budget_s:
         # the reference's exact bench configuration: 2^16 constraints,
         # SonicKZG10 (benches/bench.rs:13,22)
@@ -232,6 +247,7 @@ def main():
                 BASELINE_NS_PER_CONSTRAINT / sonic16["ns_per_constraint"], 4
             )
             record["sonic_proof_bytes"] = sonic16["proof_bytes"]
+            extended = True
         except Exception as e:
             progress(f"sonic 2^16 capture failed: {e}")
     if secondary_on and time.perf_counter() - t0 < budget_s:
@@ -241,10 +257,13 @@ def main():
             record["vs_baseline@2^16"] = round(
                 BASELINE_NS_PER_CONSTRAINT / m16["ns_per_constraint"], 4
             )
+            extended = True
         except Exception as e:
             progress(f"marlin 2^16 capture failed: {e}")
 
-    print(json.dumps(record))
+    if extended:
+        # extended record: strict superset of the headline line above
+        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

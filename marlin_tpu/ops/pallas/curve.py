@@ -363,7 +363,10 @@ def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
     n_tuple, np0 = _fq_consts()
     L = len(n_tuple)
     rt = _fold_rt()
-    if cap % rt:
+    if cap % rt or (rt & (rt - 1)):
+        # the final roll-halving row reduce assumes a power-of-two row
+        # tile; a non-pow2 rt that merely divides cap would silently skip
+        # rows (ADVICE r4)
         rt = _RT
     assert cap % rt == 0 and lanes % LANE == 0
     nsteps = cap // rt

@@ -143,15 +143,18 @@ def msm_sharded_core(
 
 
 def msm_sharded(
-    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis="x"
+    points: cd.Point, scalars_mont: jnp.ndarray, mesh: Mesh, axis="x", exact: bool = False
 ) -> cd.Point:
     """Σ_i s_i P_i with (points, scalars) sharded over `axis`.
 
     Result is replicated on every device (shape [1] Jacobian point).
+    The spill fallback runs the single-chip path with exact=True: it is
+    taken precisely when a bucket overflowed or a fold degenerated, so the
+    rerun must not revisit the non-exact fast-madd path (ADVICE r4).
     """
     pt, spill = msm_sharded_core(points, scalars_mont, mesh, axis)
     if int(jax.device_get(spill)) != 0:
         # exact host-layout single-chip path (NOT msm_mod.msm, which would
         # re-enter this router under an active parallel context)
-        return msm_mod.msm_pippenger(points, scalars_mont)
+        return msm_mod.msm_pippenger(points, scalars_mont, exact=True)
     return pt

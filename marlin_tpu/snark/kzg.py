@@ -275,15 +275,12 @@ def _ensure_msm_table(pp: UniversalParams):
 
     if not routing.use_pallas() or os.environ.get("MARLIN_TPU_MSM_TABLE") == "0":
         return None
-    if P.FR_BITS > 255:
-        # the table path's window count assumes 16-limb (<=255-bit) scalars
-        return None
     table = getattr(pp, "_msm_table", None)
     if table is not None:
         return table
     n = pp.powers_of_g[0].shape[0]
     c = msm_mod._fixed_c(n)
-    num_windows = -(-256 // c)
+    num_windows = msm_mod.fixed_table_windows(c)
     mb = num_windows * n * 3 * 24 * 4 / 1e6
     if mb > float(os.environ.get("MARLIN_TPU_MSM_TABLE_MB", "2400")):
         return None

@@ -132,8 +132,16 @@ def load_srs(path: str) -> kzg.UniversalParams:
 
 
 def _limb_rows_to_ints(arr: np.ndarray) -> list:
-    """[n, L] uint32 arrays of 16-bit limbs -> list of n Python ints."""
-    a = np.ascontiguousarray(arr.astype("<u2"))
+    """[n, L] uint32 arrays of 16-bit limbs -> list of n Python ints.
+
+    Rejects limbs >= 2^16 instead of truncating: the device kernels consume
+    the full 32-bit limbs (whose Montgomery overflow analysis assumes
+    sub-2^16 limbs), so the archive check must validate the exact
+    representation the kernels see (ADVICE r4)."""
+    a0 = np.asarray(arr)
+    if (a0 >> 16).any():
+        raise ValueError("archive limb out of range (>= 2^16)")
+    a = np.ascontiguousarray(a0.astype("<u2"))
     L2 = a.shape[1] * 2
     raw = a.tobytes()
     return [int.from_bytes(raw[i : i + L2], "little") for i in range(0, len(raw), L2)]
@@ -157,6 +165,10 @@ def _validate_powers_on_curve(pt, what: str) -> None:
             continue
         if z_m != one_mont:
             raise ValueError(f"{what}: non-affine Z in archive")
+        if x_m >= q or y_m >= q:
+            # non-canonical Montgomery residues would pass the mod-q curve
+            # check below while the kernels see a different representation
+            raise ValueError(f"{what}: coordinate residue out of range")
         x = x_m * rinv % q
         y = y_m * rinv % q
         if (y * y - (x * x % q) * x - b) % q:

@@ -159,6 +159,7 @@ def main():
                     "bitwise_equal": ok,
                     "per_device_gflops": round(flops / 1e9, 4),
                     "compute_scaling_efficiency": eff,
+                    "efficiency_source": "xla_cost_model",
                     "collective_ops": ccount,
                     "collective_mb_per_device": round(cbytes / 2**20, 3),
                     "wall_s": round(time.perf_counter() - t0, 2),
@@ -205,6 +206,7 @@ def main():
                     "bitwise_equal": ok,
                     "per_device_gflops": round(flops / 1e9, 4),
                     "compute_scaling_efficiency": eff,
+                    "efficiency_source": "xla_cost_model",
                     "collective_ops": ccount,
                     "collective_mb_per_device": round(cbytes / 2**20, 3),
                     "wall_s": round(time.perf_counter() - t0, 2),
