@@ -66,11 +66,16 @@ def to_affine_ints_host(pt: Point) -> list:
     the batch stays on device, but a ~10 s stall per call on the XLA:CPU
     backend.  Here only the raw Jacobian limbs transfer (no device
     compute) and the Z inversions collapse into ONE modular inverse via
-    the Montgomery prefix-product trick in host ints."""
+    the Montgomery prefix-product trick in host ints.
+
+    All three coordinate planes come back in a single device_get: on the
+    tunneled TPU each fetch costs a ~30-45 ms round trip, and the commit
+    path syncs here 4x per prove (VERDICT r4 task 2: audit the fetch)."""
     q = P.Q_MODULUS
-    xs = fq.to_ints(pt[0])
-    ys = fq.to_ints(pt[1])
-    zs = fq.to_ints(pt[2])
+    x_raw, y_raw, z_raw = jax.device_get((pt[0], pt[1], pt[2]))
+    xs = fq.to_ints(x_raw)
+    ys = fq.to_ints(y_raw)
+    zs = fq.to_ints(z_raw)
     nonzero = [z for z in zs if z != 0]
     if not nonzero:
         return [None] * len(zs)

@@ -710,12 +710,12 @@ def _top_fold_shape(n_j: int, c: int, num_windows: int) -> tuple:
     return nb_top, cap_top
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(2, 4, 5, 6, 7, 8))
 def _fixed_group_kernel(
     points: cd.Point,
     scal_cat: jnp.ndarray,
     sizes: tuple,
-    offsets: tuple,
+    offsets: jnp.ndarray,
     c: int,
     num_windows: int,
     nb: int,
@@ -728,7 +728,12 @@ def _fixed_group_kernel(
     first table-path bench capture).  Two folds: the merged signed window
     over windows 0..W-2 plus a narrow top-window fold (see
     _signed_layout_device for why the top window can't share the merged
-    bucket space)."""
+    bucket space).
+
+    `offsets` is a TRACED [n_jobs] array (not a static tuple): shifted-
+    commitment jobs differ from their main job only by the SRS offset, so
+    keeping it out of the jit key lets every equally-shaped launch share
+    one compiled kernel (round-5 warmup economics)."""
     scal16 = bi.from_mont(fr.CTX, scal_cat)
     n_base = points[0].shape[0] // num_windows
     nb_top, cap_top = _top_fold_shape(max(sizes), c, num_windows)
@@ -736,9 +741,9 @@ def _fixed_group_kernel(
     top_layouts = []
     spill = jnp.zeros((), jnp.uint32)
     pos = 0
-    for n_j, off in zip(sizes, offsets):
+    for ji, n_j in enumerate(sizes):
         lay, top_lay, s = _signed_layout_device(
-            scal16[pos : pos + n_j], c, num_windows, nb, cap, n_base, off,
+            scal16[pos : pos + n_j], c, num_windows, nb, cap, n_base, offsets[ji],
             nb_top, cap_top,
         )
         layouts.append(lay)
@@ -762,6 +767,17 @@ def _fixed_group_kernel(
     return totals, flag + top_flag + spill
 
 
+# job-size quantum for the table path: scalar vectors zero-pad up to the
+# next multiple (zero digits load no buckets, so real fold work and spill
+# risk are unchanged), and a trailing <= _TAIL_MAX coefficients beyond a
+# quantum boundary split off into a shared-shape ladder job.  Collapses
+# the (sizes, cap) static-shape space of _fixed_group_kernel from ~10
+# variants per prove to ~4 — on the tunneled TPU every variant costs
+# minutes of per-process trace/compile (round-5 warmup economics).
+_FIXED_QUANT = 4096
+_TAIL_MAX = 64
+
+
 def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> list:
     """All (offset, scalars_mont) MSM jobs of a round over the fixed-base
     table, one device dispatch per cap-group.
@@ -775,6 +791,8 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
     nb = (1 << (c - 1)) + 1
 
     out = [None] * len(jobs)
+    tails = []  # (ji, offset, scalars) — <= _TAIL_MAX entries past a quantum cut
+    folded = []  # (ji, offset, padded scalars)
     by_cap = {}
     for ji, (off, scal) in enumerate(jobs):
         n_j = scal.shape[0]
@@ -783,10 +801,23 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
             pts = tuple(table.points[i][off : off + n_j] for i in range(3))
             out[ji] = msm_ladder(pts, scal)
             continue
+        head = (n_j // _FIXED_QUANT) * _FIXED_QUANT
+        if head >= _FIXED_QUANT and 0 < n_j - head <= _TAIL_MAX:
+            # e.g. the blinded h+1-length polys: commit the x^h blind term
+            # separately so the bulk job lands on the shared 4096-quantum
+            # shape instead of minting a one-off kernel
+            tails.append((ji, off + head, scal[head:]))
+            scal = scal[:head]
+            n_j = head
+        pad = -n_j % _FIXED_QUANT
+        if pad:
+            scal = jnp.pad(scal, ((0, pad), (0, 0)))
+            n_j += pad
         # merged layout spans windows 0..W-2; the top window folds apart
         lam = max(1, (n_j * (W - 1)) // (nb - 1))
         cap = int(np.ceil((lam + 6 * np.sqrt(lam) + 8) / 8.0)) * 8
-        by_cap.setdefault(cap, []).append(ji)
+        folded.append((off, scal))
+        by_cap.setdefault(cap, []).append((ji, len(folded) - 1))
 
     max_slots = 1 << 21
     for cap, group in sorted(by_cap.items()):
@@ -794,15 +825,29 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
         gsz = max(1, min(len(group), max_slots // per_job))
         for start in range(0, len(group), gsz):
             chunk = group[start : start + gsz]
-            scal_cat = jnp.concatenate([jobs[ji][1] for ji in chunk], axis=0)
-            sizes = tuple(int(jobs[ji][1].shape[0]) for ji in chunk)
-            offsets = tuple(int(jobs[ji][0]) for ji in chunk)
+            scal_cat = jnp.concatenate([folded[fi][1] for _, fi in chunk], axis=0)
+            sizes = tuple(int(folded[fi][1].shape[0]) for _, fi in chunk)
+            offsets = jnp.asarray(
+                [int(folded[fi][0]) for _, fi in chunk], dtype=jnp.int32
+            )
             totals, flag = _fixed_group_kernel(
                 table.points, scal_cat, sizes, offsets, c, W, nb, int(cap), exact
             )
             _FOLD_FLAGS.append(flag)
-            for j, ji in enumerate(chunk):
+            for j, (ji, _) in enumerate(chunk):
                 out[ji] = tuple(t[j : j + 1] for t in totals)
+
+    for ji, off, scal in tails:
+        # pad to the shared [_TAIL_MAX] ladder shape with identity points
+        n_t = scal.shape[0]
+        pts = tuple(table.points[i][off : off + n_t] for i in range(3))
+        if n_t < _TAIL_MAX:
+            ident = cd.identity((_TAIL_MAX - n_t,))
+            pts = tuple(
+                jnp.concatenate([pts[i], ident[i]], axis=0) for i in range(3)
+            )
+            scal = jnp.pad(scal, ((0, _TAIL_MAX - n_t), (0, 0)))
+        out[ji] = cd.add(out[ji], msm_ladder(pts, scal))
     return out
 
 

@@ -223,6 +223,90 @@ def _ntt_mixed_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     return out
 
 
+def _ntt_core_batched(x: jnp.ndarray, rev: jnp.ndarray, stages, planes=None) -> jnp.ndarray:
+    """[B, n, L] batched butterfly network (shared plan across the batch).
+
+    The fused Pallas stage kernel sees the flattened [B*n, L] array: each
+    grid block lies inside ONE transform (n % block == 0), and the
+    m-periodic twiddle planes are identical for every transform, so the
+    same compiled kernel serves any batch size with one launch."""
+    bsz, n, _ = x.shape
+    x = x[:, rev]
+    skip = 0
+    if planes:
+        from .pallas import ntt as pntt
+
+        flat = pntt.fused_stages(
+            x.reshape(bsz * n, fr.L), [jnp.asarray(p) for p in planes], fr.CTX
+        )
+        x = flat.reshape(bsz, n, fr.L)
+        skip = len(planes)
+    for tw in stages[skip:]:
+        m = tw.shape[0]
+        x = x.reshape(bsz, n // (2 * m), 2, m, fr.L)
+        e, o = x[:, :, 0], x[:, :, 1]
+        t = fr.mul(o, tw[None, None])
+        x = jnp.stack([fr.add(e, t), fr.sub(e, t)], axis=2)
+    return x.reshape(bsz, n, fr.L)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _ntt_batch_jit(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    n = x.shape[1]
+    rev, stages = _plan(n, inverse)
+    planes = _plan_planes(n, inverse) if _use_fused(n) else None
+    out = _ntt_core_batched(
+        x, jnp.asarray(rev), [jnp.asarray(s) for s in stages], planes
+    )
+    if inverse:
+        n_inv = fr.from_int(pow(n, -1, R))
+        out = fr.mul(out, n_inv[None, None, :])
+    return out
+
+
+def _batchable(n: int, count: int) -> bool:
+    from ..parallel import context as pctx
+
+    return count > 1 and not (n & (n - 1)) and (
+        pctx.current() is None or n < pctx.NTT_MIN_SHARDED
+    )
+
+
+def ntt_many(polys: list, n: int) -> list:
+    """Forward NTTs of several polynomials onto one shared size-n domain in
+    a single launch (VERDICT r4 task 5: the prover issues ~15 transforms
+    per prove — reference src/ahp/prover.rs:326,488,532-535 — and batching
+    the independent ones amortizes dispatch and fills the VPU).
+
+    Falls back to per-poly `ntt` for mixed-radix sizes and mesh-sharded
+    transforms (both have their own routers).  Bit-identical to the
+    per-poly path."""
+    if not _batchable(n, len(polys)):
+        return [ntt(p, n) for p in polys]
+    stacked = jnp.stack([_pad_for(p, n) for p in polys])
+    out = _ntt_batch_jit(stacked, False)
+    return [out[i] for i in range(len(polys))]
+
+
+def intt_many(evals: list) -> list:
+    """Inverse NTTs of several same-size evaluation vectors, one launch."""
+    n = evals[0].shape[0]
+    assert all(e.shape[0] == n for e in evals)
+    if not _batchable(n, len(evals)):
+        return [intt(e) for e in evals]
+    out = _ntt_batch_jit(jnp.stack(evals), True)
+    return [out[i] for i in range(len(evals))]
+
+
+def _pad_for(coeffs: jnp.ndarray, n: int) -> jnp.ndarray:
+    ln = coeffs.shape[0]
+    if ln > n:
+        raise ValueError(f"poly of length {ln} does not fit domain of size {n}")
+    if ln < n:
+        return jnp.pad(coeffs, ((0, n - ln), (0, 0)))
+    return coeffs
+
+
 def _sharded_or_none(x: jnp.ndarray, inverse: bool):
     """Four-step mesh NTT when a parallel context is active and the size
     divides over the mesh (the rayon-parallel-FFT analog; see

@@ -54,8 +54,7 @@ def mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(
             f"no evaluation domain of size >= {out_len} is constructible"
         )
-    ea = ntt.ntt(a, n)
-    eb = ntt.ntt(b, n)
+    ea, eb = ntt.ntt_many([a, b], n)
     return ntt.intt(fr.mul(ea, eb))[:out_len]
 
 

@@ -182,10 +182,12 @@ def _round1_core(x_assign, w_ext, z_a_evals, z_b_evals, blinds, mask_raw, *, h, 
         out = out.at[h].set(fr.add(out[h], r))
         return out
 
-    w_over_h = blind_with_vanishing(ntt.intt(w_evals), blinds[0])
+    # the three size-h interpolations are independent -> one batched launch
+    w_i, z_a_i, z_b_i = ntt.intt_many([w_evals, z_a_evals, z_b_evals])
+    w_over_h = blind_with_vanishing(w_i, blinds[0])
     w_poly, _rem = poly.divide_by_vanishing(w_over_h, x_size)
-    z_a_poly = blind_with_vanishing(ntt.intt(z_a_evals), blinds[1])
-    z_b_poly = blind_with_vanishing(ntt.intt(z_b_evals), blinds[2])
+    z_a_poly = blind_with_vanishing(z_a_i, blinds[1])
+    z_b_poly = blind_with_vanishing(z_b_i, blinds[2])
 
     # Σ_H mask = 0: subtract Σ_i mask[i*h] from the constant coefficient
     # (reference prover.rs:369-381; degree 3h + 2zk - 3 with zk = 1)
@@ -288,20 +290,20 @@ def _round2_core(
     )
 
     r_alpha_evals = _batch_eval_bivariate_diff_dev(h, alpha, vanish_alpha)
-    r_alpha_poly = ntt.intt(r_alpha_evals)
 
     # t = Σ_M eta_M M^T r_alpha (scatter over reindexed columns)
     vals_scaled = fr.mul(mat_vals, etas[mat_seg])
     contrib = fr.mul(vals_scaled, r_alpha_evals[mat_rows])
     t_evals = sparse.scatter_add_mod(contrib, mat_cols_reidx, h)
-    t_poly = ntt.intt(t_evals)
+    # both size-h interpolations batch into one launch
+    r_alpha_poly, t_poly = ntt.intt_many([r_alpha_evals, t_evals])
 
     z_poly = poly.add(poly.mul_by_vanishing(w_poly, x_size), x_poly)
 
-    ra_e = ntt.ntt(r_alpha_poly, n_mul)
-    szm_e = ntt.ntt(summed_z_m, n_mul)
-    z_e = ntt.ntt(z_poly, n_mul)
-    t_e = ntt.ntt(t_poly, n_mul)
+    # the four forward NTTs onto the mul domain are independent
+    ra_e, szm_e, z_e, t_e = ntt.ntt_many(
+        [r_alpha_poly, summed_z_m, z_poly, t_poly], n_mul
+    )
     rhs = ntt.intt(fr.sub(fr.mul(ra_e, szm_e), fr.mul(z_e, t_e)))
     q_1 = poly.add(mask, rhs)
 
@@ -421,7 +423,6 @@ def _round3_core(
         ),
         row_col_k,
     )
-    b_poly = ntt.intt(b_evals)
 
     denom = fr.mul(
         fr.sub(jnp.broadcast_to(beta, row_k.shape), row_k),
@@ -435,7 +436,8 @@ def _round3_core(
         fr.mul(val_c_k, coeffs_abc[2][None, :]),
     )
     f_evals = fr.mul(inverses, vals_combined)
-    f = ntt.intt(f_evals)
+    # both size-|K| interpolations batch into one launch
+    b_poly, f = ntt.intt_many([b_evals, f_evals])
     g_2 = f[1:]
 
     bf = poly.mul(b_poly, f)
