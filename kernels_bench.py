@@ -19,7 +19,21 @@ peak_bench.py), so every timed region ends in a jax.device_get.
 
 Env knobs: MARLIN_KBENCH_LOG2N (default 14), MARLIN_KBENCH_REPS (default 5),
 MARLIN_KBENCH_PEAK_INT32_TOPS (default 2.21, the measured peak).
+
+Total-ALU accounting (round 5): mul32 MFU alone understates how busy the
+VPU is — the CIOS schedule issues ~4 aux vector ops (mask, shift, two
+adds) per 32-bit multiply, plus finalize carry/borrow chains, so the
+kernel's total vector-op rate is ~5x its mul32 rate (ALU_FACTOR).  Each
+record carries `alu_util_model` = mul32_rate*ALU_FACTOR / peak: the
+fraction of the VPU's issue rate the kernel actually occupies under the
+5x model.  This bounds what better scheduling could recover WITHOUT
+changing the arithmetic: a kernel at alu_util_model ~0.2 has ~5x of
+scheduling headroom, and anything past that needs fewer ops per bit
+(wider limbs or MXU) — the quantified VPU-CIOS ceiling of VERDICT r5
+task 3.
 """
+
+ALU_FACTOR = 5.0  # vector ops per mul32 in the 16-bit-limb CIOS schedule
 
 import json
 import os
@@ -82,6 +96,7 @@ def main():
             "seconds_per_transform": round(per_ntt, 5),
             "mul32_tops": round(ntt_mul32 / per_ntt / 1e12, 4),
             "mfu_measured_peak": round(ntt_mul32 / per_ntt / PEAK_INT32, 4),
+            "alu_util_model": round(ntt_mul32 * ALU_FACTOR / per_ntt / PEAK_INT32, 4),
         }
     )
     print(json.dumps(results[-1]), flush=True)
@@ -103,6 +118,7 @@ def main():
             "unit": "elements/s",
             "mul32_tops": round(mul_mul32 / per_mul / 1e12, 4),
             "mfu_measured_peak": round(mul_mul32 / per_mul / PEAK_INT32, 4),
+            "alu_util_model": round(mul_mul32 * ALU_FACTOR / per_mul / PEAK_INT32, 4),
         }
     )
     print(json.dumps(results[-1]), flush=True)
@@ -135,6 +151,7 @@ def main():
             "seconds_per_msm": round(per_msm, 4),
             "mul32_tops_dispatched": round(dispatched / per_msm / 1e12, 4),
             "mfu_measured_dispatched": round(dispatched / per_msm / PEAK_INT32, 4),
+            "alu_util_model": round(dispatched * ALU_FACTOR / per_msm / PEAK_INT32, 4),
             "mfu_measured_useful": round(useful / per_msm / PEAK_INT32, 4),
         }
     )
@@ -170,6 +187,7 @@ def main():
             "seconds_per_msm": round(per_fixed, 4),
             "mul32_tops_dispatched": round(disp_t / per_fixed / 1e12, 4),
             "mfu_measured_dispatched": round(disp_t / per_fixed / PEAK_INT32, 4),
+            "alu_util_model": round(disp_t * ALU_FACTOR / per_fixed / PEAK_INT32, 4),
             "mfu_measured_useful": round(useful_t / per_fixed / PEAK_INT32, 4),
         }
     )

@@ -87,15 +87,21 @@ def _windows_kernel(
 
     filled = layout >= 0
     src = jnp.clip(layout, 0, points[0].shape[0] - 1)
-    g = cd.gather(points, src)
-    ident = cd.identity((layout.shape[0],))
-    mat = cd.select_point(filled, g, ident)
-    mat = tuple(m.reshape(cap, n_win * nb, -1) for m in mat)
 
     flag = jnp.zeros((), jnp.uint32)
     if _routing.use_pallas():
-        buckets, flag = pcurve.bucket_fold(mat, cap, exact=exact)
+        # affine-form table: gather only X and Y; the Z plane is implied by
+        # the filled mask (garbage coords in empty slots are masked off by
+        # the madd's q_inf select)
+        gx = points[0][src].reshape(cap, n_win * nb, -1)
+        gy = points[1][src].reshape(cap, n_win * nb, -1)
+        mask = filled.reshape(cap, n_win * nb)
+        buckets, flag = pcurve.bucket_fold((gx, gy), mask, cap, exact=exact)
     else:
+        g = cd.gather(points, src)
+        ident = cd.identity((layout.shape[0],))
+        mat = cd.select_point(filled, g, ident)
+        mat = tuple(m.reshape(cap, n_win * nb, -1) for m in mat)
 
         def fold(j, acc):
             col = tuple(
@@ -289,14 +295,15 @@ def msm_pippenger(
 
 
 def _digits_device(scal16: jnp.ndarray, c: int, w: int) -> jnp.ndarray:
-    """Window-w radix-2^c digit of canonical [n, 16]-limb scalars (device)."""
+    """Window-w radix-2^c digit of canonical [.., L]-limb scalars (device);
+    any leading batch shape, limb axis last."""
     off = w * c
     l = off // 16
     o = off % 16
-    lo = scal16[:, l].astype(jnp.uint32)
+    lo = scal16[..., l].astype(jnp.uint32)
     hi = (
-        scal16[:, l + 1].astype(jnp.uint32)
-        if l + 1 < scal16.shape[1]
+        scal16[..., l + 1].astype(jnp.uint32)
+        if l + 1 < scal16.shape[-1]
         else jnp.zeros_like(lo)
     )
     word = lo | (hi << jnp.uint32(16))
@@ -564,16 +571,22 @@ def _single_window_kernel(
     neg = layout < 0
     src = jnp.abs(layout) - 1
     src = jnp.clip(src, 0, points[0].shape[0] - 1)
-    g = cd.gather(points, src)
-    g = (g[0], jnp.where(neg[:, None], _fq_neg(g[1]), g[1]), g[2])
-    ident = cd.identity((layout.shape[0],))
-    mat = cd.select_point(filled, g, ident)
-    mat = tuple(m.reshape(cap, n_jobs * nb, -1) for m in mat)
 
     flag = jnp.zeros((), jnp.uint32)
     if _routing.use_pallas():
-        buckets, flag = pcurve.bucket_fold(mat, cap, exact=exact)
+        # affine-form table: gather only X and Y (Z implied by the mask;
+        # garbage coords in empty slots are masked off by q_inf)
+        gx = points[0][src].reshape(cap, n_jobs * nb, -1)
+        gy = points[1][src]
+        gy = jnp.where(neg[:, None], _fq_neg(gy), gy).reshape(cap, n_jobs * nb, -1)
+        mask = filled.reshape(cap, n_jobs * nb)
+        buckets, flag = pcurve.bucket_fold((gx, gy), mask, cap, exact=exact)
     else:
+        g = cd.gather(points, src)
+        g = (g[0], jnp.where(neg[:, None], _fq_neg(g[1]), g[1]), g[2])
+        ident = cd.identity((layout.shape[0],))
+        mat = cd.select_point(filled, g, ident)
+        mat = tuple(m.reshape(cap, n_jobs * nb, -1) for m in mat)
 
         def fold(j, acc):
             col = tuple(
@@ -600,10 +613,11 @@ def _fq_neg(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _signed_digits_device(scal16: jnp.ndarray, c: int, num_windows: int) -> jnp.ndarray:
-    """[W, n] balanced signed digits (device twin of _signed_digits_np)."""
+    """[W, ..] balanced signed digits (device twin of _signed_digits_np);
+    any leading batch shape on scal16, limb axis last."""
     half = 1 << (c - 1)
     full = 1 << c
-    carry = jnp.zeros(scal16.shape[0], jnp.int32)
+    carry = jnp.zeros(scal16.shape[:-1], jnp.int32)
     ds = []
     for w in range(num_windows):
         raw = _digits_device(scal16, c, w).astype(jnp.int32) + carry
@@ -636,6 +650,57 @@ def _signed_bucketize_device(b_flat: jnp.ndarray, enc_flat: jnp.ndarray, nb: int
         jnp.maximum(counts[1:] - cap, 0), dtype=jnp.uint32
     )
     return layout.reshape(-1), spill
+
+
+def _merged_layouts_batched(bucket: jnp.ndarray, enc: jnp.ndarray, nb: int, cap: int):
+    """Merged slot-major layouts for J jobs from per-window BATCHED sorts.
+
+    bucket, enc: [J, Wm, n] (bucket indices and ±encoded table indices,
+    0-empty encoding).  The former implementation argsorted each job's
+    flattened Wm*n entries in one call — XLA:TPU's bitonic sort cost grows
+    with the sort LENGTH but vectorizes across rows, so sorting the
+    [J*Wm, n] rows independently is ~15x faster at the prover's shapes
+    (measured 305 ms -> ~20 ms for 19 windows of 2^14).  Each bucket's
+    merged slot range is then stitched from its Wm per-window segments via
+    a small cumulative-count walk.
+
+    Returns (layouts [J, cap, nb] int32, spill count)."""
+    J, Wm, n = bucket.shape
+    flat = bucket.reshape(J * Wm, n)
+    order = jnp.argsort(flat, axis=1, stable=True).astype(jnp.int32)
+    b_sorted = jnp.take_along_axis(flat, order, axis=1)
+    e_sorted = jnp.take_along_axis(enc.reshape(J * Wm, n), order, axis=1)
+    bounds = jnp.arange(nb, dtype=b_sorted.dtype)
+    starts = jax.vmap(
+        lambda row: jnp.searchsorted(row, bounds, side="left")
+    )(b_sorted).astype(jnp.int32)  # [J*Wm, nb]
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((J * Wm, 1), n, jnp.int32)], axis=1
+    )
+    counts = (ends - starts).reshape(J, Wm, nb)
+    starts = starts.reshape(J, Wm, nb)
+    cum = jnp.cumsum(counts, axis=1) - counts  # exclusive prefix over windows
+    total = cum[:, -1] + counts[:, -1]  # [J, nb]
+
+    col = jnp.arange(cap, dtype=jnp.int32)[None, :, None]  # [1, cap, 1]
+    w_src = jnp.zeros((J, cap, nb), jnp.int32)
+    start_sel = jnp.zeros((J, cap, nb), jnp.int32)
+    cum_sel = jnp.zeros((J, cap, nb), jnp.int32)
+    for w in range(Wm):
+        c_w = cum[:, w][:, None, :]
+        sel = (col >= c_w) & (col < c_w + counts[:, w][:, None, :])
+        w_src = jnp.where(sel, w, w_src)
+        start_sel = jnp.where(sel, starts[:, w][:, None, :], start_sel)
+        cum_sel = jnp.where(sel, c_w, cum_sel)
+    have = (col < total[:, None, :]) & (
+        jnp.arange(nb, dtype=jnp.int32)[None, None, :] != 0
+    )
+    pos = jnp.clip(start_sel + (col - cum_sel), 0, n - 1)
+    row = w_src + (jnp.arange(J, dtype=jnp.int32) * Wm)[:, None, None]
+    flat_idx = row * n + pos
+    layouts = jnp.where(have, e_sorted.reshape(-1)[flat_idx.reshape(-1)].reshape(J, cap, nb), 0)
+    spill = jnp.sum(jnp.maximum(total[:, 1:] - cap, 0), dtype=jnp.uint32)
+    return layouts, spill
 
 
 def _signed_layout_device(
@@ -733,38 +798,46 @@ def _fixed_group_kernel(
     `offsets` is a TRACED [n_jobs] array (not a static tuple): shifted-
     commitment jobs differ from their main job only by the SRS offset, so
     keeping it out of the jit key lets every equally-shaped launch share
-    one compiled kernel (round-5 warmup economics)."""
+    one compiled kernel (round-5 warmup economics).
+
+    Jobs in a cap-group share one size (msm_fixed_many's 4096-quantum
+    padding), so ALL their per-window digit rows sort in one batched
+    bitonic pass (_merged_layouts_batched) — the flattened per-job argsort
+    this replaces was ~85% of the whole commit kernel's runtime."""
     scal16 = bi.from_mont(fr.CTX, scal_cat)
     n_base = points[0].shape[0] // num_windows
     nb_top, cap_top = _top_fold_shape(max(sizes), c, num_windows)
-    layouts = []
-    top_layouts = []
-    spill = jnp.zeros((), jnp.uint32)
-    pos = 0
-    for ji, n_j in enumerate(sizes):
-        lay, top_lay, s = _signed_layout_device(
-            scal16[pos : pos + n_j], c, num_windows, nb, cap, n_base, offsets[ji],
-            nb_top, cap_top,
-        )
-        layouts.append(lay)
-        top_layouts.append(top_lay)
-        spill = spill + s
-        pos += n_j
-    big = (
-        jnp.stack(layouts).reshape(len(sizes), cap, nb).swapaxes(0, 1).reshape(-1)
+    J = len(sizes)
+    n_j = sizes[0]
+    assert all(s == n_j for s in sizes), "cap-group jobs must share a size"
+    d = _signed_digits_device(scal16.reshape(J, n_j, -1), c, num_windows)  # [W, J, n]
+    d = jnp.swapaxes(d, 0, 1)  # [J, W, n]
+    body, top = d[:, : num_windows - 1], d[:, num_windows - 1]
+    bucket = jnp.abs(body)
+    tbl = (
+        jnp.arange(num_windows - 1, dtype=jnp.int32)[None, :, None] * n_base
+        + (offsets[:, None, None] + 1)
+        + jnp.arange(n_j, dtype=jnp.int32)[None, None, :]
     )
-    totals, flag = _single_window_kernel(points, big, len(sizes), nb, cap, exact)
-    big_top = (
-        jnp.stack(top_layouts)
-        .reshape(len(sizes), cap_top, nb_top)
-        .swapaxes(0, 1)
-        .reshape(-1)
+    enc = jnp.where(body < 0, -tbl, tbl)
+    layouts, spill = _merged_layouts_batched(bucket, enc, nb, cap)
+    big = jnp.swapaxes(layouts, 0, 1).reshape(-1)
+    totals, flag = _single_window_kernel(points, big, J, nb, cap, exact)
+    # top window: digits are non-negative (raw <= 2^tb < 2^(c-1))
+    top_tbl = (
+        (num_windows - 1) * n_base
+        + (offsets[:, None] + 1)
+        + jnp.arange(n_j, dtype=jnp.int32)[None, :]
     )
+    top_layouts, top_spill = _merged_layouts_batched(
+        top[:, None, :], top_tbl[:, None, :], nb_top, cap_top
+    )
+    big_top = jnp.swapaxes(top_layouts, 0, 1).reshape(-1)
     top_totals, top_flag = _single_window_kernel(
-        points, big_top, len(sizes), nb_top, cap_top, exact
+        points, big_top, J, nb_top, cap_top, exact
     )
     totals = cd.add(totals, top_totals)
-    return totals, flag + top_flag + spill
+    return totals, flag + top_flag + spill + top_spill
 
 
 # job-size quantum for the table path: scalar vectors zero-pad up to the

@@ -178,6 +178,13 @@ def _fq_consts():
 
 
 @functools.lru_cache(maxsize=None)
+def _fq_one_tuple():
+    from .. import fq
+
+    return tuple(int(v) for v in fq.CTX.one_limbs)
+
+
+@functools.lru_cache(maxsize=None)
 def _build(kind: str, rows: int, interpret: bool):
     from jax.experimental import pallas as pl
 
@@ -310,11 +317,21 @@ def _jac_madd_planes_fast(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
     return X3, Y3, Z3, needs_double
 
 
-def _fold_kernel(x, y, z, ox, oy, oz, oflag, *, n_tuple, np0, nsteps, exact, rt=_RT):
+def _fold_kernel(
+    x, y, m, ox, oy, oz, oflag, *, n_tuple, np0, one_tuple, nsteps, exact, rt=_RT
+):
+    """Slot points are affine-form table gathers, so their Z coordinate is
+    never materialized: a [rt, LANE] filled-mask rides instead of a third
+    [L, rt, LANE] limb plane (1/3 less gather + HBM traffic), and Z2 is
+    rebuilt in-register from the one_mont constant."""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
-    X, Y, Z = x[:], y[:], z[:]
+    X, Y = x[:], y[:]
+    mask = m[:] != 0
+    Z = jnp.stack(
+        [jnp.where(mask, jnp.uint32(one_tuple[i]), jnp.uint32(0)) for i in range(len(one_tuple))]
+    )
 
     @pl.when(j == 0)
     def _init():
@@ -371,10 +388,17 @@ def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
     assert cap % rt == 0 and lanes % LANE == 0
     nsteps = cap // rt
     in_spec = pl.BlockSpec((L, rt, LANE), lambda i, j: (0, j, i))
+    mask_spec = pl.BlockSpec((rt, LANE), lambda i, j: (j, i))
     out_spec = pl.BlockSpec((L, rt, LANE), lambda i, j: (0, 0, i))
     flag_spec = pl.BlockSpec((rt, LANE), lambda i, j: (0, i))
     kernel = functools.partial(
-        _fold_kernel, n_tuple=n_tuple, np0=np0, nsteps=nsteps, exact=exact, rt=rt
+        _fold_kernel,
+        n_tuple=n_tuple,
+        np0=np0,
+        one_tuple=_fq_one_tuple(),
+        nsteps=nsteps,
+        exact=exact,
+        rt=rt,
     )
     return pl.pallas_call(
         kernel,
@@ -383,7 +407,7 @@ def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
         )
         + (jax.ShapeDtypeStruct((rt, lanes), jnp.uint32),),
         grid=(lanes // LANE, nsteps),
-        in_specs=[in_spec] * 3,
+        in_specs=[in_spec] * 2 + [mask_spec],
         out_specs=(out_spec,) * 3 + (flag_spec,),
         interpret=interpret,
     )
@@ -463,27 +487,32 @@ def combine_windows(stacked, c: int, interpret: bool = False):
     return tuple(jnp.moveaxis(o[:, 0, 0:1], 0, -1) for o in out)
 
 
-def bucket_fold(mat, cap: int, interpret: bool = False, exact: bool = False):
-    """Σ over the cap axis of a [cap, lanes] point batch.
+def bucket_fold(xy, mask, cap: int, interpret: bool = False, exact: bool = False):
+    """Σ over the cap axis of a [cap, lanes] affine-form point batch.
 
-    mat: Point tuple of [cap, lanes, 24] arrays (slot j of bucket lane b at
-    [j, b]); identity slots are all-zero (Z = 0).  Returns a ([lanes]-batch
-    Point of bucket sums, doubling-needed count) — the count is 0 unless
-    the no-double fast madd degenerated somewhere (see
-    _jac_madd_planes_fast); with exact=True the complete madd runs and the
-    count is always 0.  cap must be a multiple of 8; lanes is padded to a
-    whole number of 128-lane tiles internally.
+    xy: (X, Y) [cap, lanes, 24] arrays (slot j of bucket lane b at [j, b]);
+    mask: [cap, lanes] — nonzero where the slot holds a real point, 0 for
+    identity padding (the Z coordinate is implied: affine one for filled
+    slots — table gathers never carry a projective Z, so it is never
+    gathered or streamed).  Returns a ([lanes]-batch Point of bucket sums,
+    doubling-needed count) — the count is 0 unless the no-double fast madd
+    degenerated somewhere (see _jac_madd_planes_fast); with exact=True the
+    complete madd runs and the count is always 0.  cap must be a multiple
+    of 8; lanes is padded to a whole number of 128-lane tiles internally.
     """
-    lanes = mat[0].shape[1]
+    lanes = xy[0].shape[1]
     pad = -lanes % LANE
     planes = []
-    for c in mat:
+    for c in xy:
         lm = jnp.moveaxis(c, -1, 0)  # [24, cap, lanes]
         if pad:
             lm = jnp.pad(lm, ((0, 0), (0, 0), (0, pad)))
         planes.append(lm)
+    m = mask.astype(jnp.uint32)
+    if pad:
+        m = jnp.pad(m, ((0, 0), (0, pad)))
     call = _build_fold(cap, lanes + pad, interpret, exact)
-    *out, flags = call(*planes)
+    *out, flags = call(*planes, m)
     # row 0 of the 8-row accumulator holds the fold result
     return (
         tuple(jnp.moveaxis(o[:, 0, :lanes], 0, -1) for o in out),

@@ -1,5 +1,12 @@
 """Pallas kernel tests (interpreter mode on the CPU mesh).
 
+The curve-kernel tests are `xl`-tier: ONE interpret-mode bucket_fold costs
+~200 s of XLA:CPU compile (measured round 5) and the four tests together
+starved the whole slow tier (VERDICT r4 weak #9 — a worker hit 37 GB RSS).
+They run nightly / on demand with `-m xl`; the slow tier keeps the same
+math covered through the XLA twin kernels (test_curve_msm), and real-TPU
+runs exercise the compiled kernels directly.
+
 The curve-kernel tests are `slow`: interpreter-mode compilation of the
 fused Jacobian kernels takes tens of minutes on CPU (the same graphs take
 250-500 s on the TPU toolchain); the fast signal for these kernels is the
@@ -32,7 +39,7 @@ def test_pallas_mont_mul_matches_host():
     assert jnp.array_equal(out, fr.mul(X, Y))
 
 
-@pytest.mark.slow
+@pytest.mark.xl
 def test_pallas_curve_add_double_match_xla():
     from marlin_tpu.fields import host_curve as hc
     from marlin_tpu.ops import curve_device as cd
@@ -52,7 +59,7 @@ def test_pallas_curve_add_double_match_xla():
     assert cd.to_affine_ints(gd) == cd.to_affine_ints(wd)
 
 
-@pytest.mark.slow
+@pytest.mark.xl
 def test_pallas_bucket_fold_matches_sum():
     import jax.numpy as jnp
 
@@ -69,7 +76,8 @@ def test_pallas_bucket_fold_matches_sum():
     mat = tuple(m.at[:, 0].set(col[i]) for i, m in enumerate(mat))
     one = cd.from_affine_ints(affs[:1])
     mat = tuple(m.at[0, 1].set(one[i][0]) for i, m in enumerate(mat))
-    out, flag = pcurve.bucket_fold(mat, cap, interpret=True)
+    mask = ~cd.is_identity(mat)
+    out, flag = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True)
     res = cd.to_affine_ints(out)
     acc = affs[0]
     for a in affs[1:]:
@@ -80,7 +88,7 @@ def test_pallas_bucket_fold_matches_sum():
     assert int(flag) == 0
 
 
-@pytest.mark.slow
+@pytest.mark.xl
 def test_pallas_bucket_fold_doubling_flag():
     """A repeated point in one bucket degenerates the no-double madd: the
     flag must fire, and the exact=True fold must produce the true sum."""
@@ -99,14 +107,15 @@ def test_pallas_bucket_fold_doubling_flag():
     # meet in the complete row-reduce, which needs no flag)
     for s in (0, 8):
         mat = tuple(m.at[s, 0].set(one[i][0]) for i, m in enumerate(mat))
-    _, flag = pcurve.bucket_fold(mat, cap, interpret=True)
+    mask = ~cd.is_identity(mat)
+    _, flag = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True)
     assert int(flag) != 0
-    out, flag2 = pcurve.bucket_fold(mat, cap, interpret=True, exact=True)
+    out, flag2 = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True, exact=True)
     assert int(flag2) == 0
     assert cd.to_affine_ints(out)[0] == hc.g1_add(aff, aff)
 
 
-@pytest.mark.slow
+@pytest.mark.xl
 def test_pallas_combine_windows_matches_xla():
     import jax.numpy as jnp
 

@@ -52,8 +52,8 @@ def main():
 
     X = rand_fq(n).reshape(cap, lanes, fq.L)
     Y = rand_fq(n).reshape(cap, lanes, fq.L)
-    Z = jnp.broadcast_to(jnp.asarray(fq.CTX.one_limbs, jnp.uint32), (cap, lanes, fq.L))
-    mat = (X, Y, Z)
+    mask = jnp.ones((cap, lanes), jnp.uint32)
+    mat = (X, Y)
 
     def fence(val):
         np.asarray(jax.device_get(val))
@@ -68,12 +68,12 @@ def main():
 
     for name, exact in (("r4_fast", False), ("r3_exact", True)):
         t_compile0 = time.perf_counter()
-        out, flag = pcurve.bucket_fold(mat, cap, exact=exact)
+        out, flag = pcurve.bucket_fold(mat, mask, cap, exact=exact)
         fence(flag)
         compile_s = time.perf_counter() - t_compile0
         t0 = time.perf_counter()
         for _ in range(reps):
-            out, flag = pcurve.bucket_fold(mat, cap, exact=exact)
+            out, flag = pcurve.bucket_fold(mat, mask, cap, exact=exact)
             fence(flag)
         per = (time.perf_counter() - t0) / reps - rtt
         madds = (cap - 1) * lanes

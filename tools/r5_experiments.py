@@ -49,10 +49,8 @@ def fold_rt_sweep(rts=(8, 16, 32), cap=144, lanes=16384, reps=3):
     limbs[:, -1] &= 0x19FF
     X = jnp.asarray(limbs[:n]).reshape(cap, lanes, _fq.L)
     Y = jnp.asarray(limbs[n:]).reshape(cap, lanes, _fq.L)
-    Z = jnp.broadcast_to(
-        jnp.asarray(_fq.CTX.one_limbs, jnp.uint32), (cap, lanes, _fq.L)
-    )
-    mat = (X, Y, Z)
+    mask = jnp.ones((cap, lanes), jnp.uint32)
+    mat = (X, Y)
     rtt = _rtt()
     prev = os.environ.get("MARLIN_TPU_FOLD_RT")
     try:
@@ -63,12 +61,12 @@ def fold_rt_sweep(rts=(8, 16, 32), cap=144, lanes=16384, reps=3):
             os.environ["MARLIN_TPU_FOLD_RT"] = str(rt)
             _pcurve._build_fold.cache_clear()
             t0 = time.perf_counter()
-            out = _pcurve.bucket_fold(mat, cap, exact=False)
+            out = _pcurve.bucket_fold(mat, mask, cap, exact=False)
             _fence(out[1])
             compile_s = time.perf_counter() - t0
             t0 = time.perf_counter()
             for _ in range(reps):
-                out = _pcurve.bucket_fold(mat, cap, exact=False)
+                out = _pcurve.bucket_fold(mat, mask, cap, exact=False)
                 _fence(out[1])
             per = (time.perf_counter() - t0) / reps - rtt
             madds = (cap - 1) * lanes
