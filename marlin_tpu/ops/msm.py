@@ -495,13 +495,27 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
 
 
 class FixedBaseTable:
-    """Precomputed [W·N] affine-form copies: table[w·N + i] = 2^(c·w)·P_i."""
+    """Precomputed [W·N] affine-form copies: table[w·N + i] = 2^(c·w)·P_i.
 
-    def __init__(self, points: cd.Point, c: int, num_windows: int, n_base: int):
-        self.points = points
+    Stored as ONE [W·N, 48] X‖Y row array: the fold layout's slot gather
+    fetches both coordinates in a single row lookup (the TPU gather is
+    row-rate-bound, ~23 ns/row measured, so halving the row count halves
+    the dominant prep cost of the commit kernel), and the all-one Z plane
+    of an affine table is never materialized — 3/5 of the former HBM
+    footprint, which is what keeps 2^18-scale tables on chip."""
+
+    def __init__(self, xy: jnp.ndarray, c: int, num_windows: int, n_base: int):
+        self.xy = xy
         self.c = c
         self.num_windows = num_windows
         self.n_base = n_base
+
+    def point_slice(self, start: int, stop: int) -> cd.Point:
+        """Affine-form (X, Y, Z=1) Jacobian batch for ladder-path slices."""
+        g = self.xy[start:stop]
+        from . import fq
+
+        return (g[:, :24], g[:, 24:], fq.ones((stop - start,)))
 
 
 def _fixed_c(n_base: int) -> int:
@@ -533,10 +547,10 @@ def build_fixed_table(points: cd.Point, c: int) -> FixedBaseTable:
             cur = cd.double(cur)
         cur = cd.normalize_batch(cur)
         blocks.append(cur)
-    table = tuple(
-        jnp.concatenate([b[i] for b in blocks], axis=0) for i in range(3)
+    xy = jnp.concatenate(
+        [jnp.concatenate([b[0], b[1]], axis=1) for b in blocks], axis=0
     )
-    return FixedBaseTable(table, c, num_windows, n_base)
+    return FixedBaseTable(xy, c, num_windows, n_base)
 
 
 def _signed_digits_np(scal: np.ndarray, c: int, num_windows: int) -> np.ndarray:
@@ -556,36 +570,45 @@ def _signed_digits_np(scal: np.ndarray, c: int, num_windows: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _single_window_kernel(
-    points: cd.Point, layout: jnp.ndarray, n_jobs: int, nb: int, cap: int, exact: bool = False
+    xy: jnp.ndarray,
+    layout: jnp.ndarray,
+    n_jobs: int,
+    nb: int,
+    cap: int,
+    exact: bool = False,
 ):
     """Batched single-window signed-digit bucket sums.
 
     layout: [cap · n_jobs · nb] int32, slot-major like _windows_kernel but
     with sign encoding: 0 = empty, +k = table point k-1, -k = negated
-    table point k-1.  Returns ([n_jobs] MSM totals, degenerate count).
-    """
+    table point k-1.  xy: [rows, 48] X‖Y row table (FixedBaseTable.xy) for
+    the one-gather fold path.  Returns ([n_jobs] MSM totals, degenerate
+    count)."""
     from .pallas import curve as pcurve
     from .pallas import routing as _routing
+
+    from . import fq as _fq_mod
 
     filled = layout != 0
     neg = layout < 0
     src = jnp.abs(layout) - 1
-    src = jnp.clip(src, 0, points[0].shape[0] - 1)
+    src = jnp.clip(src, 0, xy.shape[0] - 1)
 
     flag = jnp.zeros((), jnp.uint32)
+    g = xy[src]
+    gy = g[:, 24:]
+    gy = jnp.where(neg[:, None], _fq_neg(gy), gy)
     if _routing.use_pallas():
-        # affine-form table: gather only X and Y (Z implied by the mask;
-        # garbage coords in empty slots are masked off by q_inf)
-        gx = points[0][src].reshape(cap, n_jobs * nb, -1)
-        gy = points[1][src]
-        gy = jnp.where(neg[:, None], _fq_neg(gy), gy).reshape(cap, n_jobs * nb, -1)
+        # affine-form table: ONE row gather fetches X‖Y (Z implied by the
+        # mask; garbage coords in empty slots are masked off by q_inf)
+        gx = g[:, :24].reshape(cap, n_jobs * nb, -1)
+        gy = gy.reshape(cap, n_jobs * nb, -1)
         mask = filled.reshape(cap, n_jobs * nb)
         buckets, flag = pcurve.bucket_fold((gx, gy), mask, cap, exact=exact)
     else:
-        g = cd.gather(points, src)
-        g = (g[0], jnp.where(neg[:, None], _fq_neg(g[1]), g[1]), g[2])
+        pts = (g[:, :24], gy, _fq_mod.ones((layout.shape[0],)))
         ident = cd.identity((layout.shape[0],))
-        mat = cd.select_point(filled, g, ident)
+        mat = cd.select_point(filled, pts, ident)
         mat = tuple(m.reshape(cap, n_jobs * nb, -1) for m in mat)
 
         def fold(j, acc):
@@ -667,9 +690,11 @@ def _merged_layouts_batched(bucket: jnp.ndarray, enc: jnp.ndarray, nb: int, cap:
     Returns (layouts [J, cap, nb] int32, spill count)."""
     J, Wm, n = bucket.shape
     flat = bucket.reshape(J * Wm, n)
-    order = jnp.argsort(flat, axis=1, stable=True).astype(jnp.int32)
-    b_sorted = jnp.take_along_axis(flat, order, axis=1)
-    e_sorted = jnp.take_along_axis(enc.reshape(J * Wm, n), order, axis=1)
+    # one multi-operand sort carries the encodings with the keys — the
+    # argsort + 2x take_along_axis form paid two extra ~1M-row gathers
+    b_sorted, e_sorted = jax.lax.sort(
+        (flat, enc.reshape(J * Wm, n)), dimension=1, is_stable=True, num_keys=1
+    )
     bounds = jnp.arange(nb, dtype=b_sorted.dtype)
     starts = jax.vmap(
         lambda row: jnp.searchsorted(row, bounds, side="left")
@@ -777,7 +802,7 @@ def _top_fold_shape(n_j: int, c: int, num_windows: int) -> tuple:
 
 @functools.partial(jax.jit, static_argnums=(2, 4, 5, 6, 7, 8))
 def _fixed_group_kernel(
-    points: cd.Point,
+    xy: jnp.ndarray,
     scal_cat: jnp.ndarray,
     sizes: tuple,
     offsets: jnp.ndarray,
@@ -805,7 +830,7 @@ def _fixed_group_kernel(
     bitonic pass (_merged_layouts_batched) — the flattened per-job argsort
     this replaces was ~85% of the whole commit kernel's runtime."""
     scal16 = bi.from_mont(fr.CTX, scal_cat)
-    n_base = points[0].shape[0] // num_windows
+    n_base = xy.shape[0] // num_windows
     nb_top, cap_top = _top_fold_shape(max(sizes), c, num_windows)
     J = len(sizes)
     n_j = sizes[0]
@@ -822,7 +847,7 @@ def _fixed_group_kernel(
     enc = jnp.where(body < 0, -tbl, tbl)
     layouts, spill = _merged_layouts_batched(bucket, enc, nb, cap)
     big = jnp.swapaxes(layouts, 0, 1).reshape(-1)
-    totals, flag = _single_window_kernel(points, big, J, nb, cap, exact)
+    totals, flag = _single_window_kernel(xy, big, J, nb, cap, exact)
     # top window: digits are non-negative (raw <= 2^tb < 2^(c-1))
     top_tbl = (
         (num_windows - 1) * n_base
@@ -834,7 +859,7 @@ def _fixed_group_kernel(
     )
     big_top = jnp.swapaxes(top_layouts, 0, 1).reshape(-1)
     top_totals, top_flag = _single_window_kernel(
-        points, big_top, J, nb_top, cap_top, exact
+        xy, big_top, J, nb_top, cap_top, exact
     )
     totals = cd.add(totals, top_totals)
     return totals, flag + top_flag + spill + top_spill
@@ -871,7 +896,7 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
         n_j = scal.shape[0]
         if n_j < 512:
             # tiny job: the [nb, cap] fold would be ~all padding
-            pts = tuple(table.points[i][off : off + n_j] for i in range(3))
+            pts = table.point_slice(off, off + n_j)
             out[ji] = msm_ladder(pts, scal)
             continue
         head = (n_j // _FIXED_QUANT) * _FIXED_QUANT
@@ -904,7 +929,7 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
                 [int(folded[fi][0]) for _, fi in chunk], dtype=jnp.int32
             )
             totals, flag = _fixed_group_kernel(
-                table.points, scal_cat, sizes, offsets, c, W, nb, int(cap), exact
+                table.xy, scal_cat, sizes, offsets, c, W, nb, int(cap), exact
             )
             _FOLD_FLAGS.append(flag)
             for j, (ji, _) in enumerate(chunk):
@@ -913,7 +938,7 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
     for ji, off, scal in tails:
         # pad to the shared [_TAIL_MAX] ladder shape with identity points
         n_t = scal.shape[0]
-        pts = tuple(table.points[i][off : off + n_t] for i in range(3))
+        pts = table.point_slice(off, off + n_t)
         if n_t < _TAIL_MAX:
             ident = cd.identity((_TAIL_MAX - n_t,))
             pts = tuple(

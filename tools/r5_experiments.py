@@ -197,7 +197,7 @@ def msm_dissect(log2n=14, reps=3):
     _emit(experiment="msm_layout_only", c=c, cap=cap, per_s=round((time.perf_counter() - t0) / reps - rtt, 4))
 
     fold_fn = jax.jit(
-        lambda l: _msm._single_window_kernel(table.points, l, 1, nb, cap, False)
+        lambda l: _msm._single_window_kernel(table.xy, l, 1, nb, cap, False)
     )
     big = lay[0]
     out = fold_fn(big)
@@ -211,7 +211,7 @@ def msm_dissect(log2n=14, reps=3):
     t0 = time.perf_counter()
     for _ in range(reps):
         tot, flag = _msm._fixed_group_kernel(
-            table.points, scal, (n_j,), (0,), c, W, nb, int(cap), False
+            table.xy, scal, (n_j,), jnp.zeros((1,), jnp.int32), c, W, nb, int(cap), False
         )
         _fence(flag)
     _emit(experiment="msm_fixed_full", per_s=round((time.perf_counter() - t0) / reps - rtt, 4))
