@@ -71,8 +71,14 @@ def to_affine_ints_host(pt: Point) -> list:
     All three coordinate planes come back in a single device_get: on the
     tunneled TPU each fetch costs a ~30-45 ms round trip, and the commit
     path syncs here 4x per prove (VERDICT r4 task 2: audit the fetch)."""
-    q = P.Q_MODULUS
     x_raw, y_raw, z_raw = jax.device_get((pt[0], pt[1], pt[2]))
+    return affine_ints_from_raw(x_raw, y_raw, z_raw)
+
+
+def affine_ints_from_raw(x_raw, y_raw, z_raw) -> list:
+    """Host-side tail of to_affine_ints_host over already-fetched limb
+    arrays (callers piggyback extra scalars on the same device_get)."""
+    q = P.Q_MODULUS
     xs = fq.to_ints(x_raw)
     ys = fq.to_ints(y_raw)
     zs = fq.to_ints(z_raw)

@@ -90,13 +90,12 @@ def _windows_kernel(
 
     flag = jnp.zeros((), jnp.uint32)
     if _routing.use_pallas():
-        # affine-form table: gather only X and Y; the Z plane is implied by
-        # the filled mask (garbage coords in empty slots are masked off by
-        # the madd's q_inf select)
-        gx = points[0][src].reshape(cap, n_win * nb, -1)
-        gy = points[1][src].reshape(cap, n_win * nb, -1)
-        mask = filled.reshape(cap, n_win * nb)
-        buckets, flag = pcurve.bucket_fold((gx, gy), mask, cap, exact=exact)
+        # pack the source once (O(n) ALU), then ONE byte-bound packed-row
+        # gather; Z is implied by the filled mask
+        packed = pcurve.pack_points_xy(points[0], points[1])
+        g = packed[src].reshape(cap, n_win * nb, -1)
+        trimask = filled.astype(jnp.uint32).reshape(cap, n_win * nb)
+        buckets, flag = pcurve.bucket_fold(g, trimask, cap, exact=exact)
     else:
         g = cd.gather(points, src)
         ident = cd.identity((layout.shape[0],))
@@ -206,6 +205,15 @@ def fold_flags_fired() -> bool:
     if not flags:
         return False
     return bool(np.asarray(jax.device_get(jnp.stack(flags))).any())
+
+
+def pending_fold_flags():
+    """Un-drained flag scalars (device arrays), clearing the queue — for
+    callers that piggyback the flag fetch on an existing device_get
+    instead of paying a second round trip (kzg._run_msm_jobs)."""
+    global _FOLD_FLAGS
+    flags, _FOLD_FLAGS = _FOLD_FLAGS, []
+    return flags
 
 
 def msm_pippenger(
@@ -497,15 +505,15 @@ def pippenger_device(points: cd.Point, scal16: jnp.ndarray, c: int):
 class FixedBaseTable:
     """Precomputed [W·N] affine-form copies: table[w·N + i] = 2^(c·w)·P_i.
 
-    Stored as ONE [W·N, 48] X‖Y row array: the fold layout's slot gather
-    fetches both coordinates in a single row lookup (the TPU gather is
-    row-rate-bound, ~23 ns/row measured, so halving the row count halves
-    the dominant prep cost of the commit kernel), and the all-one Z plane
-    of an affine table is never materialized — 3/5 of the former HBM
-    footprint, which is what keeps 2^18-scale tables on chip."""
+    Stored as ONE [W·N, 24] PACKED row array (pallas.curve.pack_points_xy:
+    16-bit X and Y limbs paired into u32s): the fold layout's slot gather
+    is byte-bound (~4 GB/s measured), so one packed row per point is 4x
+    fewer gathered bytes than split u32-limb X/Y/Z planes — and the
+    resident table drops to 1/5 of the 3-plane footprint, which is what
+    keeps 2^18-scale tables on chip."""
 
     def __init__(self, xy: jnp.ndarray, c: int, num_windows: int, n_base: int):
-        self.xy = xy
+        self.xy = xy  # [W*N, 24] packed rows
         self.c = c
         self.num_windows = num_windows
         self.n_base = n_base
@@ -513,9 +521,19 @@ class FixedBaseTable:
     def point_slice(self, start: int, stop: int) -> cd.Point:
         """Affine-form (X, Y, Z=1) Jacobian batch for ladder-path slices."""
         g = self.xy[start:stop]
+        x, y = _unpack_xy_rows(g)
         from . import fq
 
-        return (g[:, :24], g[:, 24:], fq.ones((stop - start,)))
+        return (x, y, fq.ones((stop - start,)))
+
+
+def _unpack_xy_rows(g: jnp.ndarray) -> tuple:
+    """[.., 24] packed rows (pack_points_xy) -> ([.., 24] X, [.., 24] Y)."""
+    lo = g & jnp.uint32(0xFFFF)
+    hi = g >> jnp.uint32(16)
+    x = jnp.stack([lo[..., :12], hi[..., :12]], axis=-1).reshape(*g.shape[:-1], 24)
+    y = jnp.stack([lo[..., 12:], hi[..., 12:]], axis=-1).reshape(*g.shape[:-1], 24)
+    return x, y
 
 
 def _fixed_c(n_base: int) -> int:
@@ -547,8 +565,10 @@ def build_fixed_table(points: cd.Point, c: int) -> FixedBaseTable:
             cur = cd.double(cur)
         cur = cd.normalize_batch(cur)
         blocks.append(cur)
+    from .pallas import curve as pcurve
+
     xy = jnp.concatenate(
-        [jnp.concatenate([b[0], b[1]], axis=1) for b in blocks], axis=0
+        [pcurve.pack_points_xy(b[0], b[1]) for b in blocks], axis=0
     )
     return FixedBaseTable(xy, c, num_windows, n_base)
 
@@ -595,18 +615,20 @@ def _single_window_kernel(
     src = jnp.clip(src, 0, xy.shape[0] - 1)
 
     flag = jnp.zeros((), jnp.uint32)
-    g = xy[src]
-    gy = g[:, 24:]
-    gy = jnp.where(neg[:, None], _fq_neg(gy), gy)
+    g = xy[src]  # [slots, 24] packed rows — ONE byte-bound gather
+    trimask = jnp.where(filled, jnp.where(neg, 2, 1), 0).astype(jnp.uint32)
     if _routing.use_pallas():
-        # affine-form table: ONE row gather fetches X‖Y (Z implied by the
-        # mask; garbage coords in empty slots are masked off by q_inf)
-        gx = g[:, :24].reshape(cap, n_jobs * nb, -1)
-        gy = gy.reshape(cap, n_jobs * nb, -1)
-        mask = filled.reshape(cap, n_jobs * nb)
-        buckets, flag = pcurve.bucket_fold((gx, gy), mask, cap, exact=exact)
+        # unpack + Y-negation + implied Z all happen inside the fold kernel
+        buckets, flag = pcurve.bucket_fold(
+            g.reshape(cap, n_jobs * nb, -1),
+            trimask.reshape(cap, n_jobs * nb),
+            cap,
+            exact=exact,
+        )
     else:
-        pts = (g[:, :24], gy, _fq_mod.ones((layout.shape[0],)))
+        gx, gy = _unpack_xy_rows(g)
+        gy = jnp.where(neg[:, None], _fq_neg(gy), gy)
+        pts = (gx, gy, _fq_mod.ones((layout.shape[0],)))
         ident = cd.identity((layout.shape[0],))
         mat = cd.select_point(filled, pts, ident)
         mat = tuple(m.reshape(cap, n_jobs * nb, -1) for m in mat)

@@ -318,17 +318,28 @@ def _jac_madd_planes_fast(X1, Y1, Z1, X2, Y2, Z2, n_tuple, np0):
 
 
 def _fold_kernel(
-    x, y, m, ox, oy, oz, oflag, *, n_tuple, np0, one_tuple, nsteps, exact, rt=_RT
+    pk, m, ox, oy, oz, oflag, *, n_tuple, np0, one_tuple, nsteps, exact, rt=_RT
 ):
-    """Slot points are affine-form table gathers, so their Z coordinate is
-    never materialized: a [rt, LANE] filled-mask rides instead of a third
-    [L, rt, LANE] limb plane (1/3 less gather + HBM traffic), and Z2 is
+    """Slot points arrive PACKED: one [L, rt, LANE] u32 plane stack where
+    plane p of the first L/2 holds X limbs (2p, 2p+1) as lo|hi<<16 and the
+    second L/2 the same for Y — half the gather and HBM stream of split
+    u32-limb planes (the byte-bound slot gather was the commit kernel's
+    top cost).  A [rt, LANE] tri-state mask rides along: 0 = empty slot,
+    1 = add the point, 2 = add its negation (signed-digit layouts); Z is
     rebuilt in-register from the one_mont constant."""
     from jax.experimental import pallas as pl
 
     j = pl.program_id(1)
-    X, Y = x[:], y[:]
-    mask = m[:] != 0
+    packed = pk[:]
+    mv = m[:]
+    L = len(n_tuple)
+    lo = packed & jnp.uint32(0xFFFF)
+    hi = packed >> jnp.uint32(16)
+    X = jnp.stack([(lo if i % 2 == 0 else hi)[i // 2] for i in range(L)])
+    Y = jnp.stack([(lo if i % 2 == 0 else hi)[L // 2 + i // 2] for i in range(L)])
+    neg = mv == 2
+    Y = core.mm_select(neg, core.mm_sub(jnp.zeros_like(Y), Y, n_tuple), Y)
+    mask = mv != 0
     Z = jnp.stack(
         [jnp.where(mask, jnp.uint32(one_tuple[i]), jnp.uint32(0)) for i in range(len(one_tuple))]
     )
@@ -407,7 +418,7 @@ def _build_fold(cap: int, lanes: int, interpret: bool, exact: bool = False):
         )
         + (jax.ShapeDtypeStruct((rt, lanes), jnp.uint32),),
         grid=(lanes // LANE, nsteps),
-        in_specs=[in_spec] * 2 + [mask_spec],
+        in_specs=[in_spec, mask_spec],
         out_specs=(out_spec,) * 3 + (flag_spec,),
         interpret=interpret,
     )
@@ -487,32 +498,39 @@ def combine_windows(stacked, c: int, interpret: bool = False):
     return tuple(jnp.moveaxis(o[:, 0, 0:1], 0, -1) for o in out)
 
 
-def bucket_fold(xy, mask, cap: int, interpret: bool = False, exact: bool = False):
+def pack_points_xy(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """[.., 24] u32 limb arrays -> [.., 24] packed rows: col p < 12 holds
+    X limbs (2p, 2p+1) as lo | hi<<16, cols 12.. the same for Y.  The
+    fold's slot gather is byte-bound (~4 GB/s measured), so packing the
+    16-bit limbs halves its cost — and halves the resident table."""
+    xp = x[..., 0::2] | (x[..., 1::2] << 16)
+    yp = y[..., 0::2] | (y[..., 1::2] << 16)
+    return jnp.concatenate([xp, yp], axis=-1)
+
+
+def bucket_fold(packed, trimask, cap: int, interpret: bool = False, exact: bool = False):
     """Σ over the cap axis of a [cap, lanes] affine-form point batch.
 
-    xy: (X, Y) [cap, lanes, 24] arrays (slot j of bucket lane b at [j, b]);
-    mask: [cap, lanes] — nonzero where the slot holds a real point, 0 for
-    identity padding (the Z coordinate is implied: affine one for filled
-    slots — table gathers never carry a projective Z, so it is never
-    gathered or streamed).  Returns a ([lanes]-batch Point of bucket sums,
+    packed: [cap, lanes, 24] pack_points_xy rows (slot j of bucket lane b
+    at [j, b]); trimask: [cap, lanes] — 0 = empty slot (identity), 1 = add
+    the point, 2 = add its NEGATION (signed-digit layouts negate Y
+    in-kernel; G1 has prime order, so y != 0 for every real point).  The Z
+    coordinate is implied (affine one for filled slots) and never
+    streamed.  Returns a ([lanes]-batch Point of bucket sums,
     doubling-needed count) — the count is 0 unless the no-double fast madd
     degenerated somewhere (see _jac_madd_planes_fast); with exact=True the
     complete madd runs and the count is always 0.  cap must be a multiple
     of 8; lanes is padded to a whole number of 128-lane tiles internally.
     """
-    lanes = xy[0].shape[1]
+    lanes = packed.shape[1]
     pad = -lanes % LANE
-    planes = []
-    for c in xy:
-        lm = jnp.moveaxis(c, -1, 0)  # [24, cap, lanes]
-        if pad:
-            lm = jnp.pad(lm, ((0, 0), (0, 0), (0, pad)))
-        planes.append(lm)
-    m = mask.astype(jnp.uint32)
+    lm = jnp.moveaxis(packed, -1, 0)  # [24, cap, lanes]
+    m = trimask.astype(jnp.uint32)
     if pad:
+        lm = jnp.pad(lm, ((0, 0), (0, 0), (0, pad)))
         m = jnp.pad(m, ((0, 0), (0, pad)))
     call = _build_fold(cap, lanes + pad, interpret, exact)
-    *out, flags = call(*planes, m)
+    *out, flags = call(lm, m)
     # row 0 of the 8-row accumulator holds the fold result
     return (
         tuple(jnp.moveaxis(o[:, 0, :lanes], 0, -1) for o in out),

@@ -25,7 +25,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import active as P
 from ..fields import host_curve as hc
@@ -307,8 +309,17 @@ def _run_msm_jobs(ck: CommitterKey, jobs: list) -> list:
         jacs = msm_mod.msm_many(ck.pp.powers_of_g, jobs, table=_ensure_msm_table(ck.pp))
         stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
     with profiling.span("msm jobs: result fetch + normalize"):
-        affs = cd.to_affine_ints_host(stacked)
-    if msm_mod.fold_flags_fired():
+        # ONE device_get carries the points AND the deferred fold flags —
+        # a separate flag fetch costs a second ~35 ms tunnel round trip
+        # per commit round
+        flags = msm_mod.pending_fold_flags()
+        fetched = jax.device_get(
+            (stacked[0], stacked[1], stacked[2])
+            + ((jnp.stack(flags),) if flags else ())
+        )
+        affs = cd.affine_ints_from_raw(*fetched[:3])
+        flags_fired = bool(np.asarray(fetched[3]).any()) if flags else False
+    if flags_fired or msm_mod.fold_flags_fired():
         # a table-path bucket overflowed its capacity (degenerate scalar
         # pattern) or a no-double madd degenerated (astronomically cold
         # for an honest SRS): rerun the whole batch on the classic exact

@@ -24,7 +24,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..fields import active as P
 from ..fields import host_curve as hc
@@ -131,8 +133,15 @@ def _run_jobs(ck: SonicCommitterKey, jobs: list, powers: str = "g") -> list:
     table = kzg._ensure_msm_table(ck.pp) if powers == "g" else None
     jacs = msm_mod.msm_many(pts, jobs, table=table)
     stacked = tuple(jnp.concatenate([p[i] for p in jacs], axis=0) for i in range(3))
-    affs = cd.to_affine_ints_host(stacked)
-    if msm_mod.fold_flags_fired():
+    # one device_get for points + deferred fold flags (see kzg._run_msm_jobs)
+    flags = msm_mod.pending_fold_flags()
+    fetched = jax.device_get(
+        (stacked[0], stacked[1], stacked[2])
+        + ((jnp.stack(flags),) if flags else ())
+    )
+    affs = cd.affine_ints_from_raw(*fetched[:3])
+    flags_fired = bool(np.asarray(fetched[3]).any()) if flags else False
+    if flags_fired or msm_mod.fold_flags_fired():
         # see kzg._run_msm_jobs: capacity overflow or madd degeneracy;
         # rerun on the classic exact path (no table)
         jacs = msm_mod.msm_many(pts, jobs, exact=True)

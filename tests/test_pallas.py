@@ -76,8 +76,9 @@ def test_pallas_bucket_fold_matches_sum():
     mat = tuple(m.at[:, 0].set(col[i]) for i, m in enumerate(mat))
     one = cd.from_affine_ints(affs[:1])
     mat = tuple(m.at[0, 1].set(one[i][0]) for i, m in enumerate(mat))
-    mask = ~cd.is_identity(mat)
-    out, flag = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True)
+    mask = (~cd.is_identity(mat)).astype("uint32")
+    packed = pcurve.pack_points_xy(mat[0], mat[1])
+    out, flag = pcurve.bucket_fold(packed, mask, cap, interpret=True)
     res = cd.to_affine_ints(out)
     acc = affs[0]
     for a in affs[1:]:
@@ -107,10 +108,11 @@ def test_pallas_bucket_fold_doubling_flag():
     # meet in the complete row-reduce, which needs no flag)
     for s in (0, 8):
         mat = tuple(m.at[s, 0].set(one[i][0]) for i, m in enumerate(mat))
-    mask = ~cd.is_identity(mat)
-    _, flag = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True)
+    mask = (~cd.is_identity(mat)).astype("uint32")
+    packed = pcurve.pack_points_xy(mat[0], mat[1])
+    _, flag = pcurve.bucket_fold(packed, mask, cap, interpret=True)
     assert int(flag) != 0
-    out, flag2 = pcurve.bucket_fold(mat[:2], mask, cap, interpret=True, exact=True)
+    out, flag2 = pcurve.bucket_fold(packed, mask, cap, interpret=True, exact=True)
     assert int(flag2) == 0
     assert cd.to_affine_ints(out)[0] == hc.g1_add(aff, aff)
 

@@ -53,7 +53,7 @@ def main():
     X = rand_fq(n).reshape(cap, lanes, fq.L)
     Y = rand_fq(n).reshape(cap, lanes, fq.L)
     mask = jnp.ones((cap, lanes), jnp.uint32)
-    mat = (X, Y)
+    mat = pcurve.pack_points_xy(X, Y)
 
     def fence(val):
         np.asarray(jax.device_get(val))

@@ -25,13 +25,20 @@ os.environ["MARLIN_TPU_XLA_CACHE"] = ""
 # eager primitives: fused 2^20-shape round graphs take tens of minutes to
 # compile on XLA:CPU (bench.py's CPU-fallback lesson)
 os.environ["MARLIN_TPU_FUSE_ROUNDS"] = "0"
-# commit MSMs through the native C Pippenger: the XLA:CPU limb curve
-# kernels are ~100x slower, making device-sharded commit MSMs at 2^20
-# infeasible on a virtual CPU mesh.  The sharded-MSM path is validated
-# separately (tests/test_sharded.py, scaling_sweep.py); THIS sweep's
-# deliverable is the resident domain sharding — every round NTT still
-# runs as the block-sharded 4-step transform.  Proofs are bit-identical
-# either way.  (Recorded as msm_route in the output row.)
+# commit MSMs through the native C Pippenger by default: the XLA:CPU limb
+# curve kernels are ~100x slower, making device-sharded commit MSMs at
+# 2^20 infeasible on a virtual CPU mesh.  The sharded-MSM path is
+# validated separately (tests/test_sharded.py, scaling_sweep.py); the
+# 2^20 row's deliverable is the resident domain sharding — every round
+# NTT still runs as the block-sharded 4-step transform.  Proofs are
+# bit-identical either way.  (Recorded as msm_route in the output row.)
+#
+# MARLIN_SWEEP_SHARDED_MSM=1 (VERDICT r5 task 4's second row) instead
+# routes the SHARDED prove's commit MSMs through the distributed
+# Pippenger (parallel/msm_sharded.py) so the sharded commit path is
+# exercised inside a full prove; index and the single-chip reference
+# still use the C route (route choice cannot affect proof bytes).
+_SHARDED_MSM = os.environ.get("MARLIN_SWEEP_SHARDED_MSM") == "1"
 os.environ.setdefault("MARLIN_TPU_HOST_MSM", "1")
 
 import jax
@@ -86,11 +93,15 @@ def main():
     srs = serial.cached_srs(max_degree, test_rng(), flavor=pc if pc == "sonic" else "marlin")
     log("index")
     pk, vk = M.index(srs, circ)
-    log("sharded prove")
+    log("sharded prove" + (" (sharded commit MSMs)" if _SHARDED_MSM else ""))
+    if _SHARDED_MSM:
+        os.environ["MARLIN_TPU_HOST_MSM"] = "0"
     t_sh = time.perf_counter()
     proof_sharded = M.prove(pk, circ, test_rng(), mesh=mesh)
     sharded_bytes = proof_sharded.to_bytes()
     t_sh = time.perf_counter() - t_sh
+    if _SHARDED_MSM:
+        os.environ["MARLIN_TPU_HOST_MSM"] = "1"
     log(f"sharded prove done in {t_sh:.1f}s; verifying")
     ok_verify = M.verify(vk, [a * b % P.R_MODULUS], proof_sharded, test_rng())
     log(f"verify: {ok_verify}; single-chip reference prove")
@@ -118,7 +129,7 @@ def main():
         "kernel": f"sharded_prove_{pc}",
         "log2n": log2n,
         "devices": d,
-        "msm_route": "host_c" if os.environ.get("MARLIN_TPU_HOST_MSM") == "1" else "sharded",
+        "msm_route": "sharded_prove=sharded_pippenger" if _SHARDED_MSM else "host_c",
         "bitwise_equal": bool(bitwise),
         "verified": bool(ok_verify),
         "prove_wall_s_sharded": round(t_sh, 1),

@@ -50,7 +50,7 @@ def fold_rt_sweep(rts=(8, 16, 32), cap=144, lanes=16384, reps=3):
     X = jnp.asarray(limbs[:n]).reshape(cap, lanes, _fq.L)
     Y = jnp.asarray(limbs[n:]).reshape(cap, lanes, _fq.L)
     mask = jnp.ones((cap, lanes), jnp.uint32)
-    mat = (X, Y)
+    mat = _pcurve.pack_points_xy(X, Y)
     rtt = _rtt()
     prev = os.environ.get("MARLIN_TPU_FOLD_RT")
     try:
