@@ -540,9 +540,19 @@ def _fixed_c(n_base: int) -> int:
     """Signed-window width for the table path.
 
     Dispatched fold work ≈ nb·cap ≈ 1.2·n·W + nb·(6√λ + 8) with
-    nb = 2^(c-1); c around 11-13 is flat-optimal for 2^12..2^18 bases
-    while keeping the table W·N and bucket count moderate."""
-    return min(13, max(10, n_base.bit_length() - 3))
+    nb = 2^(c-1).  The round-5 on-chip sweep at the 2^14 bench shapes
+    measured the end-to-end group kernel (digits + batched sort + layout
+    stitch + gather + fold + scans) at c=13/12/11/10/9 =
+    207/158/137/134/129 ms for 3x16384 jobs and 423/380/378/337/395 ms
+    for 3x65536 — the layout/scan overheads scale with nb, so smaller
+    windows win until the top-window and digit costs bite at c=9.
+    MARLIN_TPU_FIXED_C overrides (A/B knob)."""
+    import os
+
+    env = os.environ.get("MARLIN_TPU_FIXED_C")
+    if env:
+        return int(env)
+    return max(10, min(13, n_base.bit_length() - 8))
 
 
 def fixed_table_windows(c: int) -> int:
