@@ -93,6 +93,23 @@ def from_ints(xs) -> jnp.ndarray:
     return jnp.asarray(ints_to_limbs(mont, L))
 
 
+def from_canonical_limbs(limbs) -> jnp.ndarray:
+    """[n, 16] canonical uint32 limb rows (e.g. ZkRng.rand_fr_limbs) ->
+    device Montgomery limbs, with the R-multiplication on DEVICE — the
+    host-int from_ints path costs ~175 ms per 3h-length mask polynomial
+    in Python bigint arithmetic on the prove hot path."""
+    from . import bigint as bi
+
+    return bi.to_mont(CTX, jnp.asarray(limbs))
+
+
+def from_ints_via_device(xs) -> jnp.ndarray:
+    """Like from_ints but with the Montgomery conversion on device (one
+    fused mont-mul by R²) — for hot-path bulk conversions (witness/z
+    vectors in prover_init) where the per-int Python `x*R % r` dominates."""
+    return from_canonical_limbs(ints_to_limbs([x % P.R_MODULUS for x in xs], L))
+
+
 def from_int(x: int) -> jnp.ndarray:
     return jnp.asarray(int_to_limbs(x * P.FR_MONT_R % P.R_MODULUS, L))
 

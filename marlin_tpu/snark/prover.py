@@ -117,7 +117,7 @@ def prover_init(index: Index, circuit) -> ProverState:
     if not ahp.num_formatted_inputs_is_admissible(cs.num_instance_variables):
         raise ProvingError("formatted public input length must be a power of two")
 
-    z = fr.from_ints(cs.full_assignment())
+    z = fr.from_ints_via_device(cs.full_assignment())
     z_a = sparse.spmv(index.a, z, index.domain_h.size)
     z_b = sparse.spmv(index.b, z, index.domain_h.size)
 
@@ -206,12 +206,12 @@ def prover_first_round(state: ProverState, zk_rng: ZkRng):
     w_ext_len = max(h - x_size, 1)
     w_ext = state.witness + [0] * (w_ext_len - len(state.witness))
     mask_len = 3 * h + 2 * zk - 2  # degree + 1 = 3h for zk = 1
-    mask_raw = fr.from_ints(zk_rng.rand_fr_list(mask_len))
+    mask_raw = fr.from_canonical_limbs(zk_rng.rand_fr_limbs(mask_len))
     blinds = fr.from_ints([zk_rng.rand_fr() for _ in range(3)])
 
     w_poly, z_a_poly, z_b_poly, mask, x_poly = _round1_core(
         fr.from_ints(state.formatted_input),
-        fr.from_ints(w_ext),
+        fr.from_ints_via_device(w_ext),
         state.z_a,
         state.z_b,
         blinds,
