@@ -236,7 +236,6 @@ def main():
         os.environ.get("MARLIN_BENCH_SECONDARY", "1") == "1"
         and num_constraints == (1 << HEADLINE_LOG2)
     )
-    extended = False
     if secondary_on and time.perf_counter() - t0 < budget_s:
         # the reference's exact bench configuration: 2^16 constraints,
         # SonicKZG10 (benches/bench.rs:13,22)
@@ -247,7 +246,10 @@ def main():
                 BASELINE_NS_PER_CONSTRAINT / sonic16["ns_per_constraint"], 4
             )
             record["sonic_proof_bytes"] = sonic16["proof_bytes"]
-            extended = True
+            # progressive extended record (strict superset of the headline
+            # line): each completed secondary re-prints, so a driver kill
+            # during a LATER secondary can only lose that secondary
+            print(json.dumps(record), flush=True)
         except Exception as e:
             progress(f"sonic 2^16 capture failed: {e}")
     if secondary_on and time.perf_counter() - t0 < budget_s:
@@ -257,13 +259,9 @@ def main():
             record["vs_baseline@2^16"] = round(
                 BASELINE_NS_PER_CONSTRAINT / m16["ns_per_constraint"], 4
             )
-            extended = True
+            print(json.dumps(record), flush=True)
         except Exception as e:
             progress(f"marlin 2^16 capture failed: {e}")
-
-    if extended:
-        # extended record: strict superset of the headline line above
-        print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

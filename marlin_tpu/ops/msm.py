@@ -540,19 +540,25 @@ def _fixed_c(n_base: int) -> int:
     """Signed-window width for the table path.
 
     Dispatched fold work ≈ nb·cap ≈ 1.2·n·W + nb·(6√λ + 8) with
-    nb = 2^(c-1).  The round-5 on-chip sweep at the 2^14 bench shapes
-    measured the end-to-end group kernel (digits + batched sort + layout
-    stitch + gather + fold + scans) at c=13/12/11/10/9 =
-    207/158/137/134/129 ms for 3x16384 jobs and 423/380/378/337/395 ms
-    for 3x65536 — the layout/scan overheads scale with nb, so smaller
-    windows win until the top-window and digit costs bite at c=9.
+    nb = 2^(c-1).  Round-5 on-chip end-to-end group-kernel sweeps
+    (digits + batched sort + layout stitch + gather + fold + scans):
+
+      2^14 SRS (n_base 2^16):  c=13/12/11/10/9 -> 207/158/137/134/129 ms
+                               (3x16384 jobs); c=10 best overall
+      2^16 SRS (n_base 2^18):  c=11/12/13 prove-weighted totals
+                               2.08/1.92/1.86 s; c=13 best (the 262144
+                               jobs dominate and their cap slack
+                               amortizes with wider windows)
+
+    Small windows win while the per-window mean load n·W/nb stays tens;
+    at large jobs the capacity padding (∝ nb·6√λ) flips the balance.
     MARLIN_TPU_FIXED_C overrides (A/B knob)."""
     import os
 
     env = os.environ.get("MARLIN_TPU_FIXED_C")
     if env:
         return int(env)
-    return max(10, min(13, n_base.bit_length() - 8))
+    return min(13, max(10, 10 + (n_base.bit_length() - 17) * 3 // 2))
 
 
 def fixed_table_windows(c: int) -> int:
@@ -949,7 +955,10 @@ def msm_fixed_many(table: FixedBaseTable, jobs: list, exact: bool = False) -> li
         folded.append((off, scal))
         by_cap.setdefault(cap, []).append((ji, len(folded) - 1))
 
-    max_slots = 1 << 21
+    # packed rows are 96 B/slot (was 288 B of split planes), so whole
+    # rounds batch into one launch up to ~2^16-scale jobs; a 2^25-slot
+    # chunk is ~3.4 GB of gather intermediate on a 16 GB chip
+    max_slots = 1 << 25
     for cap, group in sorted(by_cap.items()):
         per_job = nb * cap
         gsz = max(1, min(len(group), max_slots // per_job))

@@ -283,8 +283,9 @@ def _ensure_msm_table(pp: UniversalParams):
     n = pp.powers_of_g[0].shape[0]
     c = msm_mod._fixed_c(n)
     num_windows = msm_mod.fixed_table_windows(c)
-    # 3 Jacobian coordinate planes + the [.., 48] X‖Y gather copy
-    mb = num_windows * n * 5 * 24 * 4 / 1e6
+    # resident table = the packed [W*N, 24] u32 X||Y rows only (96 B per
+    # row; the 3-plane Jacobian blocks are transient during build)
+    mb = num_windows * n * 24 * 4 / 1e6
     if mb > float(os.environ.get("MARLIN_TPU_MSM_TABLE_MB", "2400")):
         return None
     with profiling.span("Precomputing fixed-base MSM table"):
