@@ -80,7 +80,7 @@ def main():
 
     # --- NTT ---
     x = fr.from_ints(rng.rand_fr_list(n))
-    e = ntt.ntt(x, n)  # compile
+    e = ntt.intt(ntt.ntt(x, n))  # compile BOTH directions before timing
     _fence(e)
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -97,6 +97,31 @@ def main():
             "mul32_tops": round(ntt_mul32 / per_ntt / 1e12, 4),
             "mfu_measured_peak": round(ntt_mul32 / per_ntt / PEAK_INT32, 4),
             "alu_util_model": round(ntt_mul32 * ALU_FACTOR / per_ntt / PEAK_INT32, 4),
+        }
+    )
+    print(json.dumps(results[-1]), flush=True)
+
+    # --- batched NTT (the prover's actual round route: ntt_many) ---
+    B = 8
+    xs = [fr.from_ints(rng.rand_fr_list(n)) for _ in range(B)]
+    es = ntt.ntt_many(xs, n)  # compile
+    _fence(es[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        es = ntt.ntt_many(xs, n)
+        _fence(es[0])
+    per_batch = (time.perf_counter() - t0) / reps
+    batch_mul32 = B * (n // 2) * log2n * 2 * fr.L * fr.L
+    results.append(
+        {
+            "metric": f"ntt_batched_elements_per_second@2^{log2n}",
+            "value": round(B * n / per_batch, 1),
+            "unit": "elements/s",
+            "batch": B,
+            "seconds_per_transform": round(per_batch / B, 5),
+            "mul32_tops": round(batch_mul32 / per_batch / 1e12, 4),
+            "mfu_measured_peak": round(batch_mul32 / per_batch / PEAK_INT32, 4),
+            "alu_util_model": round(batch_mul32 * ALU_FACTOR / per_batch / PEAK_INT32, 4),
         }
     )
     print(json.dumps(results[-1]), flush=True)
@@ -160,7 +185,7 @@ def main():
     # --- MSM: fixed-base table path (the prover's commit route) ---
     ct = msm._fixed_c(m)
     table = msm.build_fixed_table(pts, ct)
-    _fence(table.points[0])
+    _fence(table.xy)
     jobs = [(0, scal)]
     out = msm.msm_fixed_many(table, jobs)
     _fence(out[0][0])

@@ -91,8 +91,24 @@ def main():
 
     max_degree = ahp.max_degree(n, n, 3 * n)
     srs = serial.cached_srs(max_degree, test_rng(), flavor=pc if pc == "sonic" else "marlin")
-    log("index")
-    pk, vk = M.index(srs, circ)
+    # index keys are deterministic (curve, circuit, pc) artifacts — reuse
+    # bench.py's cache (bench.py:88-105) when the size matches; note the
+    # bench circuit uses test_rng()-drawn a,b, so adopt those here too
+    idx_dir = os.path.expanduser("~/.cache/marlin_tpu_srs")
+    suffix = "" if pc == "marlin" else f"_{pc}"
+    pk_path = os.path.join(idx_dir, f"bench_idx_{n}{suffix}_pk.npz")
+    vk_path = os.path.join(idx_dir, f"bench_idx_{n}{suffix}_vk.npz")
+    _brng = test_rng()
+    ba, bb = _brng.rand_fr(), _brng.rand_fr()
+    if os.path.exists(pk_path) and os.path.exists(vk_path):
+        log(f"loading cached index keys ({pk_path})")
+        a, b = ba, bb
+        circ = DummyCircuit(a, b, num_variables=10, num_constraints=n)
+        pk = serial.load_index_pk(pk_path, srs=srs)
+        vk = serial.load_index_vk(vk_path)
+    else:
+        log("index")
+        pk, vk = M.index(srs, circ)
     log("sharded prove" + (" (sharded commit MSMs)" if _SHARDED_MSM else ""))
     if _SHARDED_MSM:
         os.environ["MARLIN_TPU_HOST_MSM"] = "0"
