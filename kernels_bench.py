@@ -106,10 +106,13 @@ def main():
     xs = [fr.from_ints(rng.rand_fr_list(n)) for _ in range(B)]
     es = ntt.ntt_many(xs, n)  # compile
     _fence(es[0])
+    # fence once after the loop (matches the single-NTT region: independent
+    # dispatches pipeline, so the tunnel RTT amortizes over reps instead of
+    # being paid once per batch)
     t0 = time.perf_counter()
     for _ in range(reps):
         es = ntt.ntt_many(xs, n)
-        _fence(es[0])
+    _fence(es[0])
     per_batch = (time.perf_counter() - t0) / reps
     batch_mul32 = B * (n // 2) * log2n * 2 * fr.L * fr.L
     results.append(
